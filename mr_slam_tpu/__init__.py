@@ -1,0 +1,25 @@
+"""mr_slam_tpu — a TPU-native multi-robot LiDAR SLAM engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+MaverickPeter/MR_SLAM (ROS1/C++/CUDA): scan-matching odometry, pluggable
+place recognition (ScanContext / RING / RING++ / DiSCO), VGICP loop
+verification, PCM outlier gating, distributed chordal pose-graph
+optimization, 2.5D elevation mapping and costmap conversion — all as
+functional, jit-compiled array programs over a `jax.sharding.Mesh`
+instead of a ROS node graph.
+
+Layout (mirrors SURVEY.md §7 build plan):
+  geometry/  SO(3)/SE(3) batched Lie-group math
+  ops/       point-cloud substrate, voxel grids, registration, BEV,
+             Radon, FFT correlation, LOAM features (Pallas + XLA)
+  frontend/  scan-matching odometry + keyframe gating
+  loop/      place-recognition descriptors and loop detection
+  backend/   factor graph, chordal PGO, PCM, distributed optimizer
+  mapping/   elevation grid fusion + costmap conversion
+  parallel/  mesh helpers + sharded map store
+  runtime/   config, end-to-end pipeline, checkpointing
+  eval/      ATE / recall metrics, g2o interchange
+  datasets/  synthetic multi-robot worlds, NCLT loader
+"""
+
+__version__ = "0.1.0"
