@@ -1,0 +1,243 @@
+"""Batched point-cloud registration: point-to-plane ICP and VGICP.
+
+TPU-native replacement for the reference's registration zoo
+(`global_manager.cpp:2416-2462` selects PCL_ICP / PCL_GICP / FAST_GICP /
+FAST_VGICP_CUDA; the RING node refines loops with pygicp FastGICP,
+`main_RING.py:81-104`). Instead of per-point kd-tree queries +
+OpenMP/CUDA reductions, correspondences come from a `VoxelGrid` gather
+and the whole Gauss-Newton iteration is one fused einsum chain:
+
+    residuals (N,3) -> per-point 6x6 outer products -> psum over points
+    -> 6x6 solve -> se(3) retract,  iterated under `lax.scan`.
+
+Everything is fixed-shape; invalid points carry zero weight. A batch
+axis over (source, target) pairs vmaps for loop-verification workloads
+(the "registrations/s per chip" benchmark path).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.se3 import Pose
+from . import linalg3, voxel_grid
+from .pointcloud import PointCloud
+
+
+class RegistrationResult(NamedTuple):
+    pose: Pose                 # refined source->target transform
+    num_inliers: jax.Array     # matched points at the final iterate
+    error: jax.Array           # mean weighted residual cost
+    fitness: jax.Array         # PCL-style fitness (mean sq dist, capped)
+    converged: jax.Array       # final update norm below tolerance
+
+
+def _gn_update(H: jax.Array, b: jax.Array, damping: float) -> jax.Array:
+    """Solve (H + lambda diag(H)) dx = b for the 6-dof update."""
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    lam = damping * jnp.mean(diag, axis=-1)[..., None, None] + 1e-9
+    Hd = H + lam * jnp.eye(6, dtype=H.dtype)
+    return jnp.linalg.solve(Hd, b)
+
+
+@partial(jax.jit, static_argnames=("iters", "neighbors"))
+def vgicp(
+    source: PointCloud,
+    target: voxel_grid.VoxelGrid,
+    init: Pose,
+    source_covs: jax.Array | None = None,
+    iters: int = 20,
+    max_corr_dist: float = 1.0,
+    damping: float = 1e-6,
+    tol: float = 1e-4,
+    neighbors: str = "direct1",
+) -> RegistrationResult:
+    """Voxelized GICP against a Gaussian voxel map.
+
+    Per point p with covariance Cp matched to voxel (mu, Cv):
+        r = mu - (R p + t),   W = (Cv + R Cp R^T)^-1
+        cost = r^T W r
+    Jacobian of r wrt left-mult update exp([rho, phi]) T:
+        dr/drho = -I,  dr/dphi = hat(R p + t)
+    (fast_gicp's FastVGICPCuda computes the same quantities per point
+    with CUDA atomics; here the H/b accumulation is one einsum.)
+    """
+    if source_covs is None:
+        source_covs = jnp.zeros((source.xyz.shape[0], 3, 3), jnp.float32)
+
+    def step(carry, _):
+        pose, _prev = carry
+        tp = se3.apply(pose, source.xyz)  # (N, 3) transformed points
+        found, cnt, mu, Cv = voxel_grid.lookup(target, tp, neighbors)
+        # Pick the nearest *valid* neighbour cell per point.
+        d2 = jnp.sum((mu - tp[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(found, d2, jnp.inf)
+        best = jnp.argmin(d2, axis=-1)
+        mu_b = jnp.take_along_axis(mu, best[:, None, None].repeat(3, -1), 1)[:, 0]
+        Cv_b = jnp.take_along_axis(
+            Cv, best[:, None, None, None].repeat(3, -2).repeat(3, -1), 1
+        )[:, 0]
+        d2_b = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
+        ok = source.mask & jnp.isfinite(d2_b) & (d2_b < max_corr_dist**2)
+        w = ok.astype(jnp.float32)
+        # Fused covariance and its inverse.
+        RCpRt = jnp.einsum("ij,njk,lk->nil", pose.R, source_covs, pose.R)
+        W = linalg3.inv3(Cv_b + RCpRt + 1e-6 * jnp.eye(3))
+        r = mu_b - tp
+        # J (3x6): [-I | hat(tp)]
+        hat_tp = jnp.stack(
+            [
+                jnp.stack([jnp.zeros_like(tp[:, 0]), -tp[:, 2], tp[:, 1]], -1),
+                jnp.stack([tp[:, 2], jnp.zeros_like(tp[:, 0]), -tp[:, 0]], -1),
+                jnp.stack([-tp[:, 1], tp[:, 0], jnp.zeros_like(tp[:, 0])], -1),
+            ],
+            axis=-2,
+        )
+        J = jnp.concatenate(
+            [-jnp.broadcast_to(jnp.eye(3), hat_tp.shape), hat_tp], axis=-1
+        )  # (N, 3, 6)
+        WJ = jnp.einsum("nij,njk->nik", W, J)
+        H = jnp.einsum("nij,nik,n->jk", J, WJ, w)
+        b = -jnp.einsum("nij,ni,n->j", WJ, r, w)
+        dx = _gn_update(H + 1e-6 * jnp.eye(6), b, damping)
+        new_pose = se3.compose(se3.exp(dx), pose)
+        cost = jnp.sum(jnp.einsum("ni,nij,nj->n", r, W, r) * w) / jnp.maximum(
+            jnp.sum(w), 1.0
+        )
+        return (new_pose, jnp.linalg.norm(dx)), (cost, jnp.sum(w))
+
+    (pose, last_dx), (costs, inliers) = jax.lax.scan(
+        step, (init, jnp.float32(jnp.inf)), None, length=iters
+    )
+    fit = fitness(source, target, pose, max_range=1.0)
+    return RegistrationResult(
+        pose=se3.normalize(pose),
+        num_inliers=inliers[-1],
+        error=costs[-1],
+        fitness=fit,
+        converged=last_dx < tol,
+    )
+
+
+@partial(jax.jit, static_argnames=("iters", "neighbors"))
+def point_to_plane_icp(
+    source: PointCloud,
+    target: voxel_grid.VoxelGrid,
+    init: Pose,
+    iters: int = 20,
+    max_corr_dist: float = 1.0,
+    damping: float = 1e-6,
+    tol: float = 1e-4,
+    neighbors: str = "direct7",
+) -> RegistrationResult:
+    """Point-to-plane ICP: residual n^T (T p - mu) with the plane normal
+    from the voxel covariance's smallest eigenvector — the same geometry
+    as FAST-LIO's `esti_plane` measurement model (`laserMapping.cpp:
+    634-766`) with the voxel map standing in for ikd-tree 5-NN."""
+
+    def step(carry, _):
+        pose, _prev = carry
+        tp = se3.apply(pose, source.xyz)
+        found, cnt, mu, Cv = voxel_grid.lookup(target, tp, neighbors)
+        d2 = jnp.sum((mu - tp[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(found & (cnt >= 4), d2, jnp.inf)
+        best = jnp.argmin(d2, axis=-1)
+        mu_b = jnp.take_along_axis(mu, best[:, None, None].repeat(3, -1), 1)[:, 0]
+        Cv_b = jnp.take_along_axis(
+            Cv, best[:, None, None, None].repeat(3, -2).repeat(3, -1), 1
+        )[:, 0]
+        d2_b = jnp.take_along_axis(d2, best[:, None], 1)[:, 0]
+        ok = source.mask & jnp.isfinite(d2_b) & (d2_b < max_corr_dist**2)
+        w = ok.astype(jnp.float32)
+        evals, V = linalg3.eigh3(Cv_b + 1e-9 * jnp.eye(3))
+        n = V[..., :, 0]  # plane normal
+        # planarity gate: smallest eigenvalue well below the others
+        planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
+        w = w * planar.astype(jnp.float32)
+        r = jnp.sum(n * (tp - mu_b), axis=-1)  # scalar residual
+        # dr/dxi = n^T [I | -hat(tp)] -> (N, 6)
+        J = jnp.concatenate([n, jnp.cross(tp, n)], axis=-1)
+        H = jnp.einsum("ni,nj,n->ij", J, J, w)
+        b = -jnp.einsum("ni,n,n->i", J, r, w)
+        dx = _gn_update(H + 1e-6 * jnp.eye(6), b, damping)
+        new_pose = se3.compose(se3.exp(dx), pose)
+        cost = jnp.sum(r * r * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return (new_pose, jnp.linalg.norm(dx)), (cost, jnp.sum(w))
+
+    (pose, last_dx), (costs, inliers) = jax.lax.scan(
+        step, (init, jnp.float32(jnp.inf)), None, length=iters
+    )
+    fit = fitness(source, target, pose, max_range=1.0)
+    return RegistrationResult(
+        pose=se3.normalize(pose),
+        num_inliers=inliers[-1],
+        error=costs[-1],
+        fitness=fit,
+        converged=last_dx < tol,
+    )
+
+
+@jax.jit
+def fitness(
+    source: PointCloud, target: voxel_grid.VoxelGrid, pose: Pose, max_range: float = 1.0
+) -> jax.Array:
+    """PCL `getFitnessScore(max_range)` analogue — the loop acceptance
+    gate (`global_manager.cpp:2058`, threshold 0.10; `main_RING.py:208`).
+
+    PCL measures nearest-*point* distance; against a Gaussian voxel map
+    the unbiased surface distance is point-to-plane against the matched
+    cell's fitted plane (centroid distance carries an O(leaf/2) floor
+    from intra-voxel spread even at perfect alignment). Non-planar cells
+    fall back to centroid distance. Unmatched source points count as
+    `max_range^2` (PCL excludes them, which can reward gross
+    misalignment; penalising them makes the gate monotone)."""
+    tp = se3.apply(pose, source.xyz)
+    found, cnt, mu, Cv = voxel_grid.lookup(target, tp, "direct27")
+    dc2 = jnp.sum((mu - tp[:, None, :]) ** 2, axis=-1)
+    dc2 = jnp.where(found, dc2, jnp.inf)
+    best = jnp.argmin(dc2, axis=-1)
+    mu_b = jnp.take_along_axis(mu, best[:, None, None].repeat(3, -1), 1)[:, 0]
+    Cv_b = jnp.take_along_axis(
+        Cv, best[:, None, None, None].repeat(3, -2).repeat(3, -1), 1
+    )[:, 0]
+    dc2_b = jnp.take_along_axis(dc2, best[:, None], 1)[:, 0]
+    evals, V = linalg3.eigh3(Cv_b + 1e-9 * jnp.eye(3))
+    n = V[..., :, 0]
+    planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
+    dp2 = jnp.sum(n * (tp - mu_b), axis=-1) ** 2
+    d2 = jnp.where(planar, dp2, dc2_b)
+    matched = jnp.isfinite(dc2_b) & (d2 < max_range**2)
+    d2 = jnp.where(matched, d2, max_range**2)
+    w = source.mask.astype(jnp.float32)
+    return jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def register_pair(
+    source: PointCloud,
+    target: PointCloud,
+    init: Pose,
+    leaf: float = 0.5,
+    table_size: int = 1 << 15,
+    method: str = "vgicp",
+    iters: int = 20,
+    max_corr_dist: float = 1.0,
+) -> RegistrationResult:
+    """Convenience wrapper: voxelize the target and run registration —
+    what `ICPCheck` does per candidate loop (`global_manager.cpp:
+    1945-2084`), minus the threads."""
+    grid = voxel_grid.build(target, leaf, table_size, min_points=3, regularize="plane")
+    if method == "vgicp":
+        result = vgicp(source, grid, init, iters=iters, max_corr_dist=max_corr_dist)
+    else:
+        result = point_to_plane_icp(
+            source, grid, init, iters=iters, max_corr_dist=max_corr_dist
+        )
+    # Score against a permissive grid: the registration grid drops
+    # sparse (<3 point) cells, which would penalise clutter points that
+    # do have a true nearest neighbour.
+    fit_grid = voxel_grid.build(target, leaf, table_size, min_points=1)
+    return result._replace(fitness=fitness(source, fit_grid, result.pose))

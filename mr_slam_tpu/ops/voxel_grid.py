@@ -1,0 +1,180 @@
+"""Voxel-hash Gaussian grid — the TPU-native correspondence structure.
+
+The reference's hot registration paths search kd-trees per point
+(ikd-Tree in FAST-LIO `laserMapping.cpp:666`, KdTreeFLANN in A-LOAM,
+fast_gicp's GaussianVoxelMap for VGICP). Pointer trees don't map to TPU;
+this module replaces them with an open-addressed voxel hash table built
+entirely from scatters and gathers:
+
+  * build: every point hashes its voxel coord into a slot; the lowest
+    point index claims the slot (scatter-min), claims are verified by
+    coordinate equality, and per-voxel Gaussian stats (count, mean,
+    covariance) accumulate by scatter-add — fast_gicp's VGICP voxel map
+    (mean + covariance per voxel) reconstructed without the C++ class.
+  * query: a point looks up its own voxel and any neighbour offsets
+    (DIRECT1 / DIRECT7 / DIRECT27 like fast_gicp's NeighborSearchMethod)
+    with pure gathers.
+
+All shapes static; collisions lose points (bounded by table load
+factor), which only thins the map slightly — same failure mode as
+voxel downsampling.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .pointcloud import PointCloud
+
+# Odd multipliers (golden-ratio style) for the spatial hash; uint32
+# wraparound is part of the hash.
+_P1, _P2, _P3 = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D
+
+
+class VoxelGrid(NamedTuple):
+    """Open-addressed voxel table of Gaussian cells.
+
+    coords:  (H, 3) int32 voxel coordinate of the cell (claim-verified)
+    count:   (H,)   float32 number of points merged into the cell
+    mean:    (H, 3) centroid
+    cov:     (H, 3, 3) covariance (regularized if requested)
+    valid:   (H,)   bool cell occupied
+    leaf:    ()     float32 voxel edge length
+    """
+
+    coords: jax.Array
+    count: jax.Array
+    mean: jax.Array
+    cov: jax.Array
+    valid: jax.Array
+    leaf: jax.Array
+
+    @property
+    def table_size(self) -> int:
+        return self.coords.shape[0]
+
+
+def _hash(ijk: jax.Array, table_size: int) -> jax.Array:
+    u = ijk.astype(jnp.uint32)
+    h = (
+        u[..., 0] * jnp.uint32(_P1)
+        + u[..., 1] * jnp.uint32(_P2)
+        + u[..., 2] * jnp.uint32(_P3)
+    )
+    # full avalanche finalizer (lowbias32) — structured lidar scenes put
+    # coords on axis-aligned lattices, which defeats weaker mixes
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("table_size", "min_points", "regularize"))
+def build(
+    pc: PointCloud,
+    leaf: float,
+    table_size: int,
+    point_covs: jax.Array | None = None,
+    min_points: int = 1,
+    regularize: str = "none",
+) -> VoxelGrid:
+    """Build a Gaussian voxel map from a masked cloud.
+
+    point_covs: optional per-point (N, 3, 3) covariances to average into
+    cells (fast_gicp VGICP averages neighbourhood covariances); without
+    them cell covariance is the scatter of member points.
+
+    regularize: 'none' | 'plane' — 'plane' clamps eigenvalues to
+    (1, 1, 1e-3) scale like fast_gicp's RegularizationMethod::PLANE.
+    """
+    leaf = jnp.float32(leaf)
+    ijk = jnp.floor(pc.xyz / leaf).astype(jnp.int32)
+    n = pc.xyz.shape[0]
+    slot = _hash(ijk, table_size)
+    # Claim: lowest point index wins the slot.
+    claim = jnp.full((table_size,), n, jnp.int32).at[slot].min(
+        jnp.where(pc.mask, jnp.arange(n, dtype=jnp.int32), n)
+    )
+    have_owner = claim < n
+    owner_idx = jnp.minimum(claim, n - 1)
+    cell_coord = ijk[owner_idx]
+    # A point contributes iff its voxel coord matches the slot owner's.
+    contrib = pc.mask & jnp.all(ijk == cell_coord[slot], axis=-1)
+    w = contrib.astype(jnp.float32)
+    count = jnp.zeros((table_size,), jnp.float32).at[slot].add(w)
+    xsum = jnp.zeros((table_size, 3), jnp.float32).at[slot].add(
+        pc.xyz * w[:, None]
+    )
+    mean = xsum / jnp.maximum(count[:, None], 1.0)
+    # E[xx^T] - mu mu^T (second moment scatter).
+    xx = jnp.einsum("ni,nj->nij", pc.xyz, pc.xyz)
+    xxsum = jnp.zeros((table_size, 3, 3), jnp.float32).at[slot].add(
+        xx * w[:, None, None]
+    )
+    cov = xxsum / jnp.maximum(count[:, None, None], 1.0) - jnp.einsum(
+        "hi,hj->hij", mean, mean
+    )
+    if point_covs is not None:
+        csum = jnp.zeros((table_size, 3, 3), jnp.float32).at[slot].add(
+            point_covs * w[:, None, None]
+        )
+        cov = cov + csum / jnp.maximum(count[:, None, None], 1.0)
+    valid = have_owner & (count >= min_points)
+    if regularize == "plane":
+        from . import linalg3
+
+        evals, V = linalg3.eigh3(cov + 1e-9 * jnp.eye(3))
+        scale = jnp.maximum(evals[..., 2:3], 1e-6)
+        clamped = jnp.maximum(evals / scale, 1e-3) * scale
+        cov = jnp.einsum("hik,hk,hjk->hij", V, clamped, V)
+    return VoxelGrid(
+        coords=jnp.where(have_owner[:, None], cell_coord, jnp.int32(2**30)),
+        count=count,
+        mean=mean,
+        cov=cov,
+        valid=valid,
+        leaf=leaf,
+    )
+
+
+# Neighbour offset sets, mirroring fast_gicp NeighborSearchMethod.
+OFFSETS = {
+    "direct1": jnp.zeros((1, 3), jnp.int32),
+    "direct7": jnp.array(
+        [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        jnp.int32,
+    ),
+    "direct27": jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(-1, 3).astype(jnp.int32),
+}
+
+
+@partial(jax.jit, static_argnames=("neighbors",))
+def lookup(grid: VoxelGrid, xyz: jax.Array, neighbors: str = "direct1"):
+    """Gather the Gaussian cells containing `xyz` (M, 3) and neighbours.
+
+    Returns per query and per offset K:
+      found (M, K) bool, count (M, K), mean (M, K, 3), cov (M, K, 3, 3).
+    """
+    offs = OFFSETS[neighbors]
+    ijk = jnp.floor(xyz / grid.leaf).astype(jnp.int32)
+    nijk = ijk[:, None, :] + offs[None, :, :]  # (M, K, 3)
+    slot = _hash(nijk, grid.table_size)
+    found = grid.valid[slot] & jnp.all(grid.coords[slot] == nijk, axis=-1)
+    return found, grid.count[slot], grid.mean[slot], grid.cov[slot]
+
+
+@jax.jit
+def nearest_cell(grid: VoxelGrid, xyz: jax.Array):
+    """Single-cell lookup convenience: (found (M,), mean, cov, count)."""
+    found, count, mean, cov = lookup(grid, xyz, "direct1")
+    return found[:, 0], mean[:, 0], cov[:, 0], count[:, 0]
