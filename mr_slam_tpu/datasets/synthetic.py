@@ -1,0 +1,186 @@
+"""Synthetic multi-robot lidar worlds with analytic raycasting.
+
+The reference validates end-to-end against rosbags (3_dog.bag,
+loop_22/30/31.bag — `README.md` Quick Demo) that we cannot replay here.
+This module is the deterministic substitute the reference never had
+(SURVEY.md §4): a parametric world of ground plane + axis-aligned boxes,
+a spinning-lidar raycaster, and trajectory generators with guaranteed
+loop closures — so odometry drift, loop detection recall and ATE have
+exact ground truth.
+
+Everything is jit-friendly: a world is a pytree of box arrays; a scan is
+one `vmap` over rays (slab tests), producing the familiar (rings x
+azimuth) range-image layout that LOAM-style feature extraction expects.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.se3 import Pose
+from ..ops.pointcloud import PointCloud, park
+
+
+class World(NamedTuple):
+    """Axis-aligned boxes (M, 2, 3): [:, 0] = min corner, [:, 1] = max.
+    Ground plane at z = 0 is implicit."""
+
+    boxes: jax.Array
+
+
+def default_world(seed: int = 0, extent: float = 60.0, n_boxes: int = 24) -> World:
+    """A courtyard: perimeter walls + random buildings/pillars."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    e = extent
+    walls = jnp.array(
+        [
+            [[-e, -e, 0.0], [e, -e + 0.5, 4.0]],
+            [[-e, e - 0.5, 0.0], [e, e, 4.0]],
+            [[-e, -e, 0.0], [-e + 0.5, e, 4.0]],
+            [[e - 0.5, -e, 0.0], [e, e, 4.0]],
+        ]
+    )
+    centers = jax.random.uniform(k1, (n_boxes, 2), minval=-e * 0.8, maxval=e * 0.8)
+    sizes = jax.random.uniform(k2, (n_boxes, 2), minval=1.0, maxval=6.0)
+    heights = jax.random.uniform(k3, (n_boxes, 1), minval=2.0, maxval=8.0)
+    # keep a clear ring road at radius ~0.45-0.6 extent for trajectories
+    r = jnp.linalg.norm(centers, axis=-1, keepdims=True)
+    push = jnp.where((r > 0.38 * e) & (r < 0.68 * e), 0.72 * e / jnp.maximum(r, 1.0), 1.0)
+    centers = centers * push
+    lo = jnp.concatenate([centers - sizes / 2, jnp.zeros((n_boxes, 1))], axis=-1)
+    hi = jnp.concatenate([centers + sizes / 2, heights], axis=-1)
+    boxes = jnp.concatenate([walls, jnp.stack([lo, hi], axis=1)], axis=0)
+    return World(boxes)
+
+
+def _ray_dirs(n_rings: int, n_azimuth: int, fov_up=15.0, fov_down=-25.0):
+    """Velodyne-style beam directions, (rings, azimuth, 3)."""
+    elev = jnp.deg2rad(jnp.linspace(fov_down, fov_up, n_rings))
+    azim = jnp.linspace(-jnp.pi, jnp.pi, n_azimuth, endpoint=False)
+    ce, se = jnp.cos(elev)[:, None], jnp.sin(elev)[:, None]
+    ca, sa = jnp.cos(azim)[None, :], jnp.sin(azim)[None, :]
+    return jnp.stack(
+        [ce * ca, ce * sa, jnp.broadcast_to(se, (n_rings, n_azimuth))], axis=-1
+    )
+
+
+@partial(jax.jit, static_argnames=("n_rings", "n_azimuth"))
+def scan(
+    world: World,
+    pose: Pose,
+    n_rings: int = 32,
+    n_azimuth: int = 512,
+    max_range: float = 80.0,
+    sensor_height: float = 0.8,
+    noise: float = 0.01,
+    key: jax.Array | None = None,
+):
+    """Raycast one spinning-lidar frame from `pose` (sensor in the robot
+    frame sits `sensor_height` above the origin).
+
+    Returns (xyz_body (R, A, 3), range (R, A), hit (R, A)) in the BODY
+    frame — the same product as a `sensor_msgs/PointCloud2` from a
+    velodyne driver, minus the serialization.
+    """
+    dirs = _ray_dirs(n_rings, n_azimuth)  # body frame
+    dirs_w = jnp.einsum("ij,raj->rai", pose.R, dirs)
+    origin = pose.t + pose.R @ jnp.array([0.0, 0.0, sensor_height])
+    o = origin[None, None, :]
+    # Ground plane z=0: t = -oz/dz for dz < 0
+    dz = dirs_w[..., 2]
+    t_ground = jnp.where(dz < -1e-6, -o[..., 2] / dz, jnp.inf)
+    # Boxes: slab test, vectorized over (R, A, M)
+    lo = world.boxes[:, 0]  # (M, 3)
+    hi = world.boxes[:, 1]
+    inv_d = 1.0 / jnp.where(jnp.abs(dirs_w) < 1e-9, 1e-9, dirs_w)
+    t0 = (lo[None, None] - o[..., None, :]) * inv_d[..., None, :]
+    t1 = (hi[None, None] - o[..., None, :]) * inv_d[..., None, :]
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (R, A, M)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit_box = (tmax >= jnp.maximum(tmin, 1e-3)) & (tmin > 1e-3)
+    t_box = jnp.min(jnp.where(hit_box, tmin, jnp.inf), axis=-1)
+    t = jnp.minimum(t_ground, t_box)
+    hit = jnp.isfinite(t) & (t <= max_range) & (t > 0.5)
+    t = jnp.where(hit, t, max_range)
+    if key is not None and noise > 0:
+        t = t + noise * jax.random.normal(key, t.shape)
+    pts_w = o + t[..., None] * dirs_w
+    # back to body frame
+    Rt = pose.R.T
+    pts_b = jnp.einsum("ij,raj->rai", Rt, pts_w - pose.t[None, None, :])
+    return pts_b, t, hit
+
+
+def scan_to_cloud(xyz_body: jax.Array, hit: jax.Array) -> PointCloud:
+    """Flatten a range image into a masked cloud."""
+    return park(PointCloud(xyz_body.reshape(-1, 3), hit.reshape(-1)))
+
+
+def circle_trajectory(
+    n_frames: int,
+    radius: float = 30.0,
+    z: float = 0.0,
+    laps: float = 1.1,
+    center=(0.0, 0.0),
+    phase: float = 0.0,
+    ccw: bool = True,
+) -> Pose:
+    """Ring-road trajectory; laps > 1 revisits its start (loop closure
+    guaranteed). Returns a batched Pose (n_frames,)."""
+    s = 1.0 if ccw else -1.0
+    ang = phase + s * jnp.linspace(0.0, 2 * jnp.pi * laps, n_frames)
+    x = center[0] + radius * jnp.cos(ang)
+    y = center[1] + radius * jnp.sin(ang)
+    yaw = ang + s * jnp.pi / 2  # tangent heading
+    from ..geometry import so3
+
+    R = so3.yaw_rot(yaw)
+    t = jnp.stack([x, y, jnp.full_like(x, z)], axis=-1)
+    return Pose(R, t)
+
+
+def multi_robot_trajectories(
+    n_robots: int, n_frames: int, radius: float = 30.0, extent: float = 60.0
+) -> Pose:
+    """(n_robots, n_frames) poses on overlapping ring roads so robots
+    traverse shared regions (inter-robot loop closures exist)."""
+    trajs = []
+    for r in range(n_robots):
+        phase = 2 * jnp.pi * r / max(n_robots, 1)
+        trajs.append(
+            circle_trajectory(
+                n_frames, radius=radius, phase=float(phase), ccw=(r % 2 == 0)
+            )
+        )
+    return Pose(
+        jnp.stack([t.R for t in trajs]), jnp.stack([t.t for t in trajs])
+    )
+
+
+def perturb_trajectory(key, traj: Pose, trans_sigma=0.02, rot_sigma=0.002) -> Pose:
+    """Integrate noisy relative motions — simulates odometry drift with
+    exact ground truth available for ATE."""
+    n = traj.t.shape[0]
+    rel = se3.between(se3.index(traj, slice(0, n - 1)), se3.index(traj, slice(1, n)))
+    k1, k2 = jax.random.split(key)
+    dt = rel.t + trans_sigma * jax.random.normal(k1, rel.t.shape)
+    from ..geometry import so3
+
+    dw = rot_sigma * jax.random.normal(k2, (n - 1, 3))
+    dR = so3.exp(dw) @ rel.R
+
+    def step(carry, x):
+        R, t = x
+        new = se3.compose(carry, Pose(R, t))
+        return new, new
+
+    _, drifted = jax.lax.scan(step, se3.index(traj, 0), (dR, dt))
+    return Pose(
+        jnp.concatenate([traj.R[:1], drifted.R], axis=0),
+        jnp.concatenate([traj.t[:1], drifted.t], axis=0),
+    )

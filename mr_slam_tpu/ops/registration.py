@@ -134,31 +134,36 @@ def point_to_plane_icp(
     tol: float = 1e-4,
     neighbors: str = "direct7",
 ) -> RegistrationResult:
-    """Point-to-plane ICP: residual n^T (T p - mu) with the plane normal
-    from the voxel covariance's smallest eigenvector — the same geometry
-    as FAST-LIO's `esti_plane` measurement model (`laserMapping.cpp:
-    634-766`) with the voxel map standing in for ikd-tree 5-NN."""
+    """Point-to-plane ICP: residual n^T (T p - mu) against a local plane
+    — the same geometry as FAST-LIO's `esti_plane` measurement model
+    (`laserMapping.cpp:634-766`). The reference fits the plane to the
+    ikd-tree 5 nearest neighbours; here the plane comes from *pooling
+    the Gaussian moments of the matched cell and its neighbour cells*,
+    which spans rings/scans the way 5-NN does (a single cell of one
+    sparse scan is often collinear and unusable)."""
 
     def step(carry, _):
         pose, _prev = carry
         tp = se3.apply(pose, source.xyz)
         found, cnt, mu, Cv = voxel_grid.lookup(target, tp, neighbors)
-        d2 = jnp.sum((mu - tp[:, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(found & (cnt >= 4), d2, jnp.inf)
-        best = jnp.argmin(d2, axis=-1)
-        mu_b = jnp.take_along_axis(mu, best[:, None, None].repeat(3, -1), 1)[:, 0]
-        Cv_b = jnp.take_along_axis(
-            Cv, best[:, None, None, None].repeat(3, -2).repeat(3, -1), 1
-        )[:, 0]
-        d2_b = jnp.take_along_axis(d2, best[:, None], 1)[:, 0]
-        ok = source.mask & jnp.isfinite(d2_b) & (d2_b < max_corr_dist**2)
+        # Pool moments over the found neighbour cells.
+        wk = jnp.where(found, cnt, 0.0)  # (N, K)
+        wsum = jnp.sum(wk, axis=-1)
+        mu_p = jnp.einsum("nk,nki->ni", wk, mu) / jnp.maximum(wsum[:, None], 1.0)
+        M2 = Cv + jnp.einsum("nki,nkj->nkij", mu, mu)
+        M2_p = jnp.einsum("nk,nkij->nij", wk, M2) / jnp.maximum(
+            wsum[:, None, None], 1.0
+        )
+        Cp = M2_p - jnp.einsum("ni,nj->nij", mu_p, mu_p)
+        d2_b = jnp.sum((mu_p - tp) ** 2, axis=-1)
+        ok = source.mask & (wsum >= 5) & (d2_b < max_corr_dist**2)
         w = ok.astype(jnp.float32)
-        evals, V = linalg3.eigh3(Cv_b + 1e-9 * jnp.eye(3))
+        evals, V = linalg3.eigh3(Cp + 1e-9 * jnp.eye(3))
         n = V[..., :, 0]  # plane normal
         # planarity gate: smallest eigenvalue well below the others
         planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
         w = w * planar.astype(jnp.float32)
-        r = jnp.sum(n * (tp - mu_b), axis=-1)  # scalar residual
+        r = jnp.sum(n * (tp - mu_p), axis=-1)  # scalar residual
         # dr/dxi = n^T [I | -hat(tp)] -> (N, 6)
         J = jnp.concatenate([n, jnp.cross(tp, n)], axis=-1)
         H = jnp.einsum("ni,nj,n->ij", J, J, w)

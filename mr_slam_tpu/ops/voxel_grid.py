@@ -178,3 +178,85 @@ def nearest_cell(grid: VoxelGrid, xyz: jax.Array):
     """Single-cell lookup convenience: (found (M,), mean, cov, count)."""
     found, count, mean, cov = lookup(grid, xyz, "direct1")
     return found[:, 0], mean[:, 0], cov[:, 0], count[:, 0]
+
+
+_UNCLAIMED = jnp.int32(2**30)
+
+
+@partial(jax.jit, static_argnames=("min_points",))
+def insert(grid: VoxelGrid, pc: PointCloud, min_points: int = 1) -> VoxelGrid:
+    """Incrementally merge a cloud into an existing (unregularized) grid.
+
+    The functional replacement for ikd-Tree `Add_Points`
+    (`FAST_LIO/src/laserMapping.cpp:466-467`): existing cells accumulate
+    moments; new voxels claim empty slots (lowest point index wins);
+    points hashing onto a foreign occupied slot are dropped (collision,
+    bounded by load factor). Must not be used on grids built with
+    `regularize='plane'` — regularization destroys the raw moments.
+    """
+    leaf = grid.leaf
+    ijk = jnp.floor(pc.xyz / leaf).astype(jnp.int32)
+    n = pc.xyz.shape[0]
+    slot = _hash(ijk, grid.table_size)
+    occupied = jnp.any(grid.coords != _UNCLAIMED, axis=-1) | (grid.count > 0)
+    # New points may claim currently-unoccupied slots.
+    claim = jnp.full((grid.table_size,), n, jnp.int32).at[slot].min(
+        jnp.where(pc.mask, jnp.arange(n, dtype=jnp.int32), n)
+    )
+    newly_claimed = (~occupied) & (claim < n)
+    owner_coord = jnp.where(
+        occupied[:, None], grid.coords, ijk[jnp.minimum(claim, n - 1)]
+    )
+    owner_coord = jnp.where(
+        (occupied | newly_claimed)[:, None], owner_coord, _UNCLAIMED
+    )
+    contrib = pc.mask & jnp.all(ijk == owner_coord[slot], axis=-1)
+    w = contrib.astype(jnp.float32)
+    # Reconstruct moments, accumulate, renormalize.
+    c0 = grid.count
+    xsum = grid.mean * c0[:, None]
+    xxsum = (grid.cov + jnp.einsum("hi,hj->hij", grid.mean, grid.mean)) * c0[
+        :, None, None
+    ]
+    count = c0.at[slot].add(w)
+    xsum = xsum.at[slot].add(pc.xyz * w[:, None])
+    xxsum = xxsum.at[slot].add(
+        jnp.einsum("ni,nj->nij", pc.xyz, pc.xyz) * w[:, None, None]
+    )
+    mean = xsum / jnp.maximum(count[:, None], 1.0)
+    cov = xxsum / jnp.maximum(count[:, None, None], 1.0) - jnp.einsum(
+        "hi,hj->hij", mean, mean
+    )
+    valid = (count >= min_points) & jnp.any(owner_coord != _UNCLAIMED, axis=-1)
+    return VoxelGrid(
+        coords=owner_coord, count=count, mean=mean, cov=cov, valid=valid, leaf=leaf
+    )
+
+
+@jax.jit
+def decay(grid: VoxelGrid, center: jax.Array, radius: float) -> VoxelGrid:
+    """Drop cells farther than `radius` from `center`, freeing their
+    slots — the moving-FOV map trim (`lasermap_fov_segment`,
+    `laserMapping.cpp:232-276`, ikd-tree box delete)."""
+    keep = jnp.linalg.norm(grid.mean - center[None, :], axis=-1) <= radius
+    keep = keep & (grid.count > 0)
+    return VoxelGrid(
+        coords=jnp.where(keep[:, None], grid.coords, _UNCLAIMED),
+        count=jnp.where(keep, grid.count, 0.0),
+        mean=jnp.where(keep[:, None], grid.mean, 0.0),
+        cov=jnp.where(keep[:, None, None], grid.cov, 0.0),
+        valid=grid.valid & keep,
+        leaf=grid.leaf,
+    )
+
+
+def empty(leaf: float, table_size: int) -> VoxelGrid:
+    """An all-unclaimed grid (odometry map initial state)."""
+    return VoxelGrid(
+        coords=jnp.full((table_size, 3), _UNCLAIMED, jnp.int32),
+        count=jnp.zeros((table_size,), jnp.float32),
+        mean=jnp.zeros((table_size, 3), jnp.float32),
+        cov=jnp.zeros((table_size, 3, 3), jnp.float32),
+        valid=jnp.zeros((table_size,), bool),
+        leaf=jnp.float32(leaf),
+    )
