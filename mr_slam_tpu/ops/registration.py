@@ -146,7 +146,8 @@ def point_to_plane_icp(
         pose, _prev = carry
         tp = se3.apply(pose, source.xyz)
         found, cnt, mu, Cv = voxel_grid.lookup(target, tp, neighbors)
-        # Pool moments over the found neighbour cells.
+        # Candidate A: pool moments over all found neighbour cells
+        # (spans rings/scans like the reference's 5-NN plane fit).
         wk = jnp.where(found, cnt, 0.0)  # (N, K)
         wsum = jnp.sum(wk, axis=-1)
         mu_p = jnp.einsum("nk,nki->ni", wk, mu) / jnp.maximum(wsum[:, None], 1.0)
@@ -155,15 +156,30 @@ def point_to_plane_icp(
             wsum[:, None, None], 1.0
         )
         Cp = M2_p - jnp.einsum("ni,nj->nij", mu_p, mu_p)
-        d2_b = jnp.sum((mu_p - tp) ** 2, axis=-1)
-        ok = source.mask & (wsum >= 5) & (d2_b < max_corr_dist**2)
+        # Candidate B: nearest single cell (sparse scenes, where the
+        # pooled neighbourhood mixes surfaces but one cell is planar).
+        d2k = jnp.where(found, jnp.sum((mu - tp[:, None, :]) ** 2, -1), jnp.inf)
+        best = jnp.argmin(d2k, axis=-1)
+        mu_c = jnp.take_along_axis(mu, best[:, None, None].repeat(3, -1), 1)[:, 0]
+        Cv_c = jnp.take_along_axis(
+            Cv, best[:, None, None, None].repeat(3, -2).repeat(3, -1), 1
+        )[:, 0]
+        cnt_c = jnp.take_along_axis(jnp.where(found, cnt, 0.0), best[:, None], 1)[:, 0]
+
+        def planarity(C):
+            evals, V = linalg3.eigh3(C + 1e-9 * jnp.eye(3))
+            return V[..., :, 0], evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
+
+        n_p, planar_p = planarity(Cp)
+        n_c, planar_c = planarity(Cv_c)
+        use_pool = planar_p & (wsum >= 5)
+        use_cell = (~use_pool) & planar_c & (cnt_c >= 3)
+        n = jnp.where(use_pool[:, None], n_p, n_c)
+        mu_b = jnp.where(use_pool[:, None], mu_p, mu_c)
+        d2_b = jnp.sum((mu_b - tp) ** 2, axis=-1)
+        ok = source.mask & (use_pool | use_cell) & (d2_b < max_corr_dist**2)
         w = ok.astype(jnp.float32)
-        evals, V = linalg3.eigh3(Cp + 1e-9 * jnp.eye(3))
-        n = V[..., :, 0]  # plane normal
-        # planarity gate: smallest eigenvalue well below the others
-        planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
-        w = w * planar.astype(jnp.float32)
-        r = jnp.sum(n * (tp - mu_p), axis=-1)  # scalar residual
+        r = jnp.sum(n * (tp - mu_b), axis=-1)  # scalar residual
         # dr/dxi = n^T [I | -hat(tp)] -> (N, 6)
         J = jnp.concatenate([n, jnp.cross(tp, n)], axis=-1)
         H = jnp.einsum("ni,nj,n->ij", J, J, w)

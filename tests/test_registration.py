@@ -71,8 +71,10 @@ class TestRegistration:
         true = Pose(so3.exp(jnp.array([0.02, -0.03, 0.1])), jnp.array([0.5, -0.3, 0.1]))
         # source = inverse-transformed target points (so source->target = true)
         source = pcl.transform(target, se3.inverse(true))
+        # leaf 0.5 = the reference's FAST_VGICP_CUDA resolution
+        # (`global_manager.cpp:2447`)
         result = registration.register_pair(
-            source, target, se3.identity(), leaf=1.0, method=method, iters=30
+            source, target, se3.identity(), leaf=0.5, method=method, iters=30
         )
         np.testing.assert_allclose(result.pose.t, true.t, atol=atol_t)
         np.testing.assert_allclose(
