@@ -52,8 +52,15 @@ def _edge_weights(g: FactorGraph):
     return w * g.edge_w_rot, w * g.edge_w_trans
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def rotation_init(g: FactorGraph, anchors: jax.Array, iters: int = 60) -> jax.Array:
+def _preduce(x, axis_name):
+    """Sum edge-scatter partials across shards (no-op single-shard)."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+@partial(jax.jit, static_argnames=("iters", "axis_name"))
+def rotation_init(
+    g: FactorGraph, anchors: jax.Array, iters: int = 60, axis_name: str | None = None
+) -> jax.Array:
     """Solve min sum_e w_e |X_j - X_i Rij|_F^2 (+ anchored rotations)
     over X in R^{N x 3 x 3} by CG on the normal equations; project the
     result to SO(3). `anchors`: (N,) bool — nodes pinned to their
@@ -80,6 +87,7 @@ def rotation_init(g: FactorGraph, anchors: jax.Array, iters: int = 60) -> jax.Ar
         out = jnp.zeros_like(X)
         out = out.at[ei].add(w_rot[:, None, None] * gi)
         out = out.at[ej].add(w_rot[:, None, None] * gj)
+        out = _preduce(out, axis_name)
         return out + aw[:, None, None] * X
 
     b = aw[:, None, None] * anchor_R
@@ -169,20 +177,27 @@ def _edge_block_weight(g: FactorGraph, r: jax.Array, robust_delta: float):
     return row_w
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "axis_name"))
 def optimize(
     g: FactorGraph,
     anchors: jax.Array,
     config: PGOConfig = PGOConfig(),
+    axis_name: str | None = None,
 ) -> Pose:
     """Full two-stage chordal optimization. Returns optimized poses
     (invalid nodes keep their input pose).
 
     `anchors`: (N,) bool — one per connected component (the reference
     anchors each robot's first pose with a near-zero-noise prior).
+
+    `axis_name`: when called under `shard_map` with the EDGE arrays
+    sharded over that mesh axis and node arrays replicated, every
+    edge-scatter reduction is psum'd — the distributed optimizer
+    (subsumes distributed-mapper's Gauss-Seidel message passing,
+    `distributed_mapper_utils.cpp:482+`, with a globally-convergent CG).
     """
     N = g.node_capacity
-    R = rotation_init(g, anchors, config.rot_cg_iters)
+    R = rotation_init(g, anchors, config.rot_cg_iters, axis_name)
     R = jnp.where(g.node_valid[:, None, None], R, g.poses.R)
     t = g.poses.t
     aw = anchors.astype(jnp.float32) * config.anchor_weight
@@ -222,6 +237,7 @@ def optimize(
                 axis=1,
             )
             out = jnp.zeros_like(x).at[ei].add(gi).at[ej].add(gj)
+            out = _preduce(out, axis_name)
             # anchor prior on both phi and dt + damping
             return out + (aw[:, None] + config.damping) * x
 
@@ -241,13 +257,17 @@ def optimize(
             ],
             axis=1,
         )
-        b = -(jnp.zeros((N, 6)).at[ei].add(bi).at[ej].add(bj))
+        b = -_preduce(jnp.zeros((N, 6)).at[ei].add(bi).at[ej].add(bj), axis_name)
         # anchor residual pull (keep anchors at their initial pose)
         phi_anchor = so3.log(jnp.einsum("nab,ncb->nac", R, anchor_R0))
         b = b - aw[:, None] * jnp.concatenate([phi_anchor, t - anchor_t0], axis=1)
 
         # Jacobi-preconditioned CG
-        diag = _hessian_diag(J, row_w, ei, ej, N) + aw[:, None] + config.damping
+        diag = (
+            _preduce(_hessian_diag(J, row_w, ei, ej, N), axis_name)
+            + aw[:, None]
+            + config.damping
+        )
         Minv = 1.0 / jnp.maximum(diag, 1e-8)
 
         def cg_step(c, _):
@@ -275,7 +295,7 @@ def optimize(
         # only update valid nodes
         R_new = jnp.where(g.node_valid[:, None, None], R_new, R)
         t_new = jnp.where(g.node_valid[:, None], t_new, t)
-        return (R_new, t_new), jnp.sum(r * r * row_w)
+        return (R_new, t_new), _preduce(jnp.sum(r * r * row_w), axis_name)
 
     (R, t), costs = jax.lax.scan(
         gn_step, (R, t), None, length=config.gn_iters
