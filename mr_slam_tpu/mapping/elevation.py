@@ -1,0 +1,269 @@
+"""2.5D GPU-GEM elevation mapping as batched grid kernels.
+
+Re-design of `elevation_mapping_periodical` (C++/CUDA, SURVEY.md §2.7):
+the persistent device-global ring-buffer grid + per-cell Kalman fusion
+(`gpu_process.cu`: `G_pointsprocess` :384-456, `G_fuse` :477-537,
+`G_Mapfeature` :547-665, `G_Clear_map` ring shift) becomes a functional
+`ElevationMap` pytree updated by scatter ops:
+
+  * `process_points` — sensor-noise variance model + per-cell lowest-z
+    reduction (the atomicMin pass) in one segment-min;
+  * `fuse` — per-cell 1D Kalman update with Mahalanobis-gated reset to
+    the newer (higher) surface;
+  * `shift` — pure roll-and-clear replacing the wrap-around ring-buffer
+    indexing (`gpu_process.cu:192-194`), keeping everything
+    vectorizable;
+  * `features` — 5x5 neighbourhood plane fit via depthwise convolutions
+    -> slope / roughness / traversability layers.
+
+A leading robot axis vmaps the whole module; grid blocks shard over the
+mesh for the merged global map.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pointcloud import PointCloud
+
+
+class ElevationMap(NamedTuple):
+    """Rolling local grid. height/variance (H, W); origin = world xy of
+    cell (0, 0); resolution in metres/cell (0.2 in the reference
+    detection_robot_1.yaml)."""
+
+    height: jax.Array
+    variance: jax.Array
+    valid: jax.Array
+    origin: jax.Array      # (2,) float32 world coords of cell (0,0) corner
+    resolution: jax.Array  # () float32
+
+    @property
+    def shape(self):
+        return self.height.shape
+
+
+def init(size: int = 60, resolution: float = 0.2, center=(0.0, 0.0)) -> ElevationMap:
+    """size=60 @ 0.2 m -> the reference's 12 m x 12 m local map."""
+    half = size * resolution / 2.0
+    return ElevationMap(
+        height=jnp.zeros((size, size), jnp.float32),
+        variance=jnp.full((size, size), 1e6, jnp.float32),
+        valid=jnp.zeros((size, size), bool),
+        origin=jnp.array([center[0] - half, center[1] - half], jnp.float32),
+        resolution=jnp.float32(resolution),
+    )
+
+
+@jax.jit
+def sensor_variance(
+    xyz_sensor: jax.Array,
+    normal_factor: float = 0.002,
+    lateral_factor: float = 0.004,
+) -> jax.Array:
+    """Beam noise model: variance grows with squared range — the
+    Jacobian-propagated laser model of `LaserSensorProcessor.cpp`
+    collapsed to its dominant terms. xyz in the SENSOR frame."""
+    d2 = jnp.sum(xyz_sensor * xyz_sensor, axis=-1)
+    return normal_factor + lateral_factor * d2
+
+
+@jax.jit
+def process_points(
+    m: ElevationMap, pc: PointCloud, variances: jax.Array
+):
+    """Reduce a world-frame cloud to per-cell (lowest z, its variance)
+    — `G_pointsprocess`'s transform + atomicMin pass. Returns
+    (cell_z (H, W), cell_var (H, W), cell_hit (H, W))."""
+    H, W = m.shape
+    ij = jnp.floor((pc.xyz[:, :2] - m.origin) / m.resolution).astype(jnp.int32)
+    inb = (
+        pc.mask
+        & (ij[:, 0] >= 0) & (ij[:, 0] < H)
+        & (ij[:, 1] >= 0) & (ij[:, 1] < W)
+    )
+    flat = jnp.where(inb, ij[:, 0] * W + ij[:, 1], H * W)
+    z = jnp.where(inb, pc.xyz[:, 2], jnp.inf)
+    cell_z = jnp.full((H * W + 1,), jnp.inf).at[flat].min(z)
+    # variance of (approximately) the winning point: take min variance
+    cell_var = jnp.full((H * W + 1,), jnp.inf).at[flat].min(
+        jnp.where(inb, variances, jnp.inf)
+    )
+    hit = jnp.isfinite(cell_z[: H * W])
+    return (
+        jnp.where(hit, cell_z[: H * W], 0.0).reshape(H, W),
+        jnp.where(hit, cell_var[: H * W], 1e6).reshape(H, W),
+        hit.reshape(H, W),
+    )
+
+
+@partial(jax.jit, static_argnames=("mahalanobis_thresh",))
+def fuse(
+    m: ElevationMap,
+    pc: PointCloud,
+    variances: jax.Array,
+    mahalanobis_thresh: float = 5.0,
+) -> ElevationMap:
+    """One measurement update — `G_fuse` (`gpu_process.cu:477-537`):
+    per cell, Kalman-blend the new height with the stored one; if the
+    innovation's Mahalanobis distance exceeds the threshold, RESET to
+    the new surface (dynamic obstacles / overhangs)."""
+    cell_z, cell_var, hit = process_points(m, pc, variances)
+    h0, v0, ok0 = m.height, m.variance, m.valid
+    maha = jnp.abs(cell_z - h0) / jnp.sqrt(jnp.maximum(v0 + cell_var, 1e-9))
+    consistent = maha <= mahalanobis_thresh
+    # Kalman update
+    v_sum = jnp.maximum(v0 + cell_var, 1e-9)
+    h_new = (v0 * cell_z + cell_var * h0) / v_sum
+    v_new = (v0 * cell_var) / v_sum
+    # reset branch
+    h_out = jnp.where(consistent & ok0, h_new, cell_z)
+    v_out = jnp.where(consistent & ok0, v_new, cell_var)
+    return m._replace(
+        height=jnp.where(hit, h_out, h0),
+        variance=jnp.where(hit, v_out, v0),
+        valid=ok0 | hit,
+    )
+
+
+@jax.jit
+def predict(m: ElevationMap, process_noise: float = 1e-4) -> ElevationMap:
+    """Time update: inflate variance (`G_Mapvar_update` /
+    RobotMotionMapUpdater)."""
+    return m._replace(variance=m.variance + process_noise)
+
+
+@jax.jit
+def shift(m: ElevationMap, new_center: jax.Array) -> ElevationMap:
+    """Recenter the rolling grid on the robot — the ring-buffer shift
+    (`G_Clear_map`) as a roll + clear of vacated rows/cols."""
+    H, W = m.shape
+    half = jnp.array([H, W], jnp.float32) * m.resolution / 2.0
+    new_origin_f = new_center - half
+    shift_cells = jnp.round((new_origin_f - m.origin) / m.resolution).astype(jnp.int32)
+    new_origin = m.origin + shift_cells.astype(jnp.float32) * m.resolution
+    di, dj = shift_cells[0], shift_cells[1]
+    rows = jnp.arange(H)[:, None] + di
+    cols = jnp.arange(W)[None, :] + dj
+    inb = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
+    ri = jnp.clip(rows, 0, H - 1)
+    ci = jnp.clip(cols, 0, W - 1)
+    take = lambda a, fill: jnp.where(inb, a[ri, ci], fill)
+    return ElevationMap(
+        height=take(m.height, 0.0),
+        variance=take(m.variance, 1e6),
+        valid=take(m.valid, False),
+        origin=new_origin,
+        resolution=m.resolution,
+    )
+
+
+class TerrainFeatures(NamedTuple):
+    slope: jax.Array          # rad
+    roughness: jax.Array      # m (plane-fit residual std)
+    step: jax.Array           # m (max height jump in window)
+    traversability: jax.Array  # [0, 1], 1 = flat and smooth
+
+
+def _window_sums(x: jax.Array, k: int) -> jax.Array:
+    """Sum over k x k window via two 1D convolutions (separable box)."""
+    kernel = jnp.ones((k,), x.dtype)
+    pad = k // 2
+    a = jnp.apply_along_axis  # noqa — keep simple: conv per axis
+    x1 = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="same"))(x)
+    x2 = jax.vmap(lambda col: jnp.convolve(col, kernel, mode="same"))(x1.T).T
+    return x2
+
+
+@partial(jax.jit, static_argnames=("window",))
+def features(
+    m: ElevationMap,
+    window: int = 5,
+    slope_crit: float = 0.6,
+    rough_crit: float = 0.15,
+    step_crit: float = 0.3,
+) -> TerrainFeatures:
+    """`G_Mapfeature` (`gpu_process.cu:547-665`): per cell fit a plane
+    z = ax + by + c over the k x k neighbourhood (least squares via box
+    sums), derive slope / roughness / step and blend into a [0,1]
+    traversability score (weights as the reference: slope, roughness and
+    step each normalized by a critical value)."""
+    H, W = m.shape
+    res = m.resolution
+    v = m.valid.astype(jnp.float32)
+    z = jnp.where(m.valid, m.height, 0.0)
+    ii = jnp.arange(H, dtype=jnp.float32)[:, None] * res
+    jj = jnp.arange(W, dtype=jnp.float32)[None, :] * res
+    x = jnp.broadcast_to(ii, (H, W))
+    y = jnp.broadcast_to(jj, (H, W))
+    S1 = _window_sums(v, window)
+    Sx = _window_sums(v * x, window)
+    Sy = _window_sums(v * y, window)
+    Sz = _window_sums(v * z, window)
+    Sxx = _window_sums(v * x * x, window)
+    Syy = _window_sums(v * y * y, window)
+    Sxy = _window_sums(v * x * y, window)
+    Sxz = _window_sums(v * x * z, window)
+    Syz = _window_sums(v * y * z, window)
+    Szz = _window_sums(v * z * z, window)
+    n = jnp.maximum(S1, 1.0)
+    # centered moments
+    mx, my, mz = Sx / n, Sy / n, Sz / n
+    cxx = Sxx / n - mx * mx
+    cyy = Syy / n - my * my
+    cxy = Sxy / n - mx * my
+    cxz = Sxz / n - mx * mz
+    cyz = Syz / n - my * mz
+    czz = Szz / n - mz * mz
+    det = cxx * cyy - cxy * cxy
+    det_safe = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+    a = (cyy * cxz - cxy * cyz) / det_safe
+    b = (cxx * cyz - cxy * cxz) / det_safe
+    slope = jnp.arctan(jnp.sqrt(a * a + b * b))
+    resid = jnp.maximum(czz - (a * cxz + b * cyz), 0.0)
+    roughness = jnp.sqrt(resid)
+    # step: max-min in window (dilate/erode via repeated 3x3 max)
+    zmax = z
+    zmin = jnp.where(m.valid, m.height, jnp.inf)
+    for _ in range(window // 2):
+        zmax = _dilate3(zmax)
+        zmin = -_dilate3(-zmin)
+    step = jnp.where(jnp.isfinite(zmin), zmax - zmin, 0.0)
+    enough = S1 >= 3.0
+    trav = 1.0 - jnp.maximum(
+        jnp.maximum(slope / slope_crit, roughness / rough_crit), step / step_crit
+    )
+    trav = jnp.clip(trav, 0.0, 1.0)
+    trav = jnp.where(enough & m.valid, trav, 0.5)  # unknown = mid score
+    return TerrainFeatures(
+        slope=jnp.where(enough, slope, 0.0),
+        roughness=jnp.where(enough, roughness, 0.0),
+        step=step,
+        traversability=trav,
+    )
+
+
+def _dilate3(x: jax.Array) -> jax.Array:
+    """3x3 max filter."""
+    p = jnp.pad(x, 1, constant_values=-jnp.inf)
+    stack = jnp.stack(
+        [p[di : di + x.shape[0], dj : dj + x.shape[1]]
+         for di in range(3) for dj in range(3)]
+    )
+    return jnp.max(stack, axis=0)
+
+
+@jax.jit
+def to_cloud(m: ElevationMap) -> PointCloud:
+    """Flatten the grid into a masked world-frame cloud (cell centers)
+    — what `updateLocalMap` publishes as the grid part of a SubMap."""
+    H, W = m.shape
+    ii = (jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5) * m.resolution
+    jj = (jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5) * m.resolution
+    xs = jnp.broadcast_to(ii + m.origin[0], (H, W))
+    ys = jnp.broadcast_to(jj + m.origin[1], (H, W))
+    xyz = jnp.stack([xs, ys, m.height], axis=-1).reshape(-1, 3)
+    return PointCloud(xyz, m.valid.reshape(-1))
