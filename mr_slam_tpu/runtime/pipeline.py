@@ -1,0 +1,347 @@
+"""End-to-end multi-robot SLAM pipeline — the global manager, functional.
+
+The reference's GlobalManager runs six mutex-guarded threads (discovery,
+map composing, loop closing, TF publish, graph publish, geometry check —
+`global_manager_node.cpp:45-50`). Here the same dataflow is a
+deterministic staged pipeline over array state (SURVEY.md §2.10):
+
+  odometry (lax.scan) -> keyframe gating -> descriptor batch ->
+  loop retrieval (one einsum/FFT) -> geometry verification (vmapped
+  VGICP over merged submaps) -> PCM -> chordal PGO -> map composing
+
+Host Python only orchestrates stage order and the (tiny) dynamic loop
+list; every heavy stage is jit-compiled. The multi-robot case runs the
+same stages with a leading robot axis.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend import chordal, factor_graph as fg, pcm
+from ..frontend import keyframes as kf
+from ..frontend import odometry
+from ..geometry import se3, so3
+from ..geometry.se3 import Pose
+from ..loop import bev, disco, ring, scancontext
+from ..ops import pointcloud as pcl
+from ..ops import registration, voxel_grid
+from .config import SlamConfig
+
+
+@dataclass
+class RobotResult:
+    odom_poses: Pose            # (T,) raw odometry
+    store: kf.KeyframeStore     # keyframes
+    kf_frame_idx: np.ndarray    # (K,) frame index of each keyframe
+
+
+@dataclass
+class SlamResult:
+    robots: list[RobotResult]
+    graph: fg.FactorGraph
+    opt_poses: Pose             # (N,) optimized node poses
+    node_of: np.ndarray         # (R, Kmax) node index per robot keyframe
+    loops: list[dict]           # accepted loop records
+    merged_cloud: pcl.PointCloud | None = None
+
+    def optimized_trajectory(self, robot: int) -> Pose:
+        ids = self.node_of[robot]
+        ids = ids[ids >= 0]
+        return Pose(self.opt_poses.R[ids], self.opt_poses.t[ids])
+
+
+def _odometry_config(cfg: SlamConfig) -> odometry.OdometryConfig:
+    o = cfg.odometry
+    return odometry.OdometryConfig(
+        scan_leaf=o.scan_leaf, map_leaf=o.map_leaf, insert_leaf=o.insert_leaf,
+        scan_capacity=o.scan_capacity, insert_capacity=o.insert_capacity,
+        table_size=o.table_size, map_radius=o.map_radius, iters=o.iters,
+        max_corr_dist=o.max_corr_dist,
+    )
+
+
+def run_frontend(
+    scans: pcl.PointCloud, cfg: SlamConfig, origin: Pose | None = None
+) -> RobotResult:
+    """Odometry + keyframe extraction for one robot's scan sequence
+    (scans: stacked (T, P, 3)/(T, P) pytree, body frame)."""
+    _, poses, _ = odometry.run(scans, _odometry_config(cfg), origin)
+    store = kf.init(cfg.keyframes.capacity, cfg.keyframes.points_per_kf)
+    T = scans.xyz.shape[0]
+    kf_frames = []
+    for i in range(T):
+        cloud = pcl.PointCloud(scans.xyz[i], scans.mask[i])
+        pose_i = se3.index(poses, i)
+        store, added = kf.maybe_add(
+            store, cloud, pose_i, jnp.float32(i),
+            dist_thresh=cfg.keyframes.dist_thresh, leaf=cfg.keyframes.leaf,
+        )
+        if bool(added):
+            kf_frames.append(i)
+    return RobotResult(
+        odom_poses=poses, store=store, kf_frame_idx=np.array(kf_frames, np.int64)
+    )
+
+
+# --------------------------------------------------------------------------
+# descriptors
+# --------------------------------------------------------------------------
+
+
+def compute_descriptors(store: kf.KeyframeStore, cfg: SlamConfig):
+    """Batch-describe every keyframe. Returns a dict of stacked arrays
+    (contents depend on cfg.loops.method)."""
+    K = store.capacity
+    clouds = pcl.PointCloud(store.xyz, store.mask)  # (K, P, ...)
+    method = cfg.loops.method
+    if method == "scancontext":
+        descs = jax.vmap(scancontext.describe)(clouds)
+        keys = scancontext.ring_key(descs)
+        return {"sc": descs, "key": keys}
+    if method == "ring":
+        def one(c):
+            norm = bev.normalize_cloud(c)
+            occ = bev.cartesian_occupancy(norm)[0]
+            d = ring.describe(occ)
+            return d.sinogram, d.tiring
+        sino, tiring = jax.vmap(one)(clouds)
+        return {"sino": sino, "tiring": tiring}
+    if method == "disco":
+        def one(c):
+            g = bev.polar_occupancy(c, 40, 120, z_bins=20)
+            d = disco.describe(g)
+            return d.signature, d.spectrum
+        sig, spec = jax.vmap(one)(clouds)
+        return {"sig": sig, "spec": spec}
+    raise ValueError(f"unknown loop method {method}")
+
+
+def _descriptor_distances(desc_q: dict, qi: int, desc_db: dict, cfg: SlamConfig):
+    """(D,) distances of query keyframe qi against a database, plus an
+    initial yaw guess per database entry (None when unavailable)."""
+    m = cfg.loops.method
+    if m == "scancontext":
+        d, shift = scancontext.distance(
+            jax.tree.map(lambda a: a[qi], desc_q["sc"]), desc_db["sc"]
+        )
+        n_sectors = desc_db["sc"].shape[-1]
+        yaw = shift.astype(jnp.float32) * (2 * jnp.pi / n_sectors)
+        return d, yaw
+    if m == "ring":
+        d, shift = ring.correlate(desc_q["tiring"][qi], desc_db["tiring"])
+        n_angles = desc_db["tiring"].shape[-2]
+        yaw = ring.shift_to_yaw(shift, n_angles)
+        return d, yaw
+    if m == "disco":
+        d = disco.distance(
+            desc_q["sig"][qi], desc_db["sig"],
+            jnp.ones(desc_db["sig"].shape[0], bool),
+        )
+        yaws = jax.vmap(
+            lambda spec: disco.relative_yaw(desc_q["spec"][qi], spec)[0]
+        )(desc_db["spec"])
+        return d, yaws
+    raise ValueError(m)
+
+
+# --------------------------------------------------------------------------
+# loop verification
+# --------------------------------------------------------------------------
+
+
+def _verify_loop(
+    store_a: kf.KeyframeStore,
+    ia: int,
+    store_b: kf.KeyframeStore,
+    ib: int,
+    yaw_guess: float,
+    cfg: SlamConfig,
+    same_robot: bool = False,
+):
+    """Geometry check (`ICPCheck`, `global_manager.cpp:1945-2084`):
+    merge +-window keyframes around each side, register a->b, gate on
+    fitness. Same-robot candidates are seeded with the odometry relative
+    pose (the reference's odometry-space loop path does the same); cross
+    robot ones with the descriptor yaw. Returns (accept, rel_pose
+    (b_kf_frame <- a_kf_frame), fitness)."""
+    L = cfg.loops
+    merged_a = kf.merged_neighborhood(store_a, jnp.int32(ia), L.verify_window)
+    merged_b = kf.merged_neighborhood(store_b, jnp.int32(ib), L.verify_window)
+    pose_a = se3.index(store_a.poses, ia)
+    pose_b = se3.index(store_b.poses, ib)
+    # bring both into their center-keyframe body frames
+    a_local = pcl.transform(merged_a, se3.inverse(pose_a))
+    b_local = pcl.transform(merged_b, se3.inverse(pose_b))
+    a_ds = pcl.voxel_downsample(a_local, L.verify_leaf, L.verify_capacity)
+    b_ds = pcl.voxel_downsample(b_local, L.verify_leaf, L.verify_capacity)
+    if same_robot:
+        # T_ab init from (drifted) odometry: T_a^-1 T_b
+        init = se3.between(pose_a, pose_b)
+    else:
+        init = Pose(so3.yaw_rot(jnp.float32(yaw_guess)), jnp.zeros(3))
+    res = registration.register_pair(
+        b_ds, a_ds, init, leaf=0.5, method="vgicp", iters=25,
+    )
+    # res.pose maps b-frame points into a-frame: T_ab. Loop measurement
+    # wants b <- a: invert.
+    accept = float(res.fitness) < L.fitness_thresh
+    return accept, se3.inverse(res.pose), float(res.fitness)
+
+
+# --------------------------------------------------------------------------
+# full pipeline
+# --------------------------------------------------------------------------
+
+
+def run(
+    scans_per_robot: list[pcl.PointCloud],
+    cfg: SlamConfig,
+    origins: list[Pose] | None = None,
+) -> SlamResult:
+    """Full multi-robot SLAM: per-robot front-ends, cross/self loop
+    search, verification, PCM, chordal PGO."""
+    R = len(scans_per_robot)
+    robots = []
+    for r in range(R):
+        origin = origins[r] if origins else None
+        robots.append(run_frontend(scans_per_robot[r], cfg, origin))
+
+    descs = [compute_descriptors(rr.store, cfg) for rr in robots]
+
+    # ---- build graph: odometry chains ------------------------------------
+    graph = fg.init(cfg.pgo.node_capacity, cfg.pgo.edge_capacity)
+    node_of = -np.ones((R, max(int(rr.store.count) for rr in robots)), np.int64)
+    for r, rr in enumerate(robots):
+        K = int(rr.store.count)
+        prev = None
+        for k in range(K):
+            graph, idx = fg.add_node(
+                graph, se3.index(rr.store.poses, k), jnp.int32(r)
+            )
+            node_of[r, k] = int(idx)
+            if prev is not None:
+                meas = se3.between(
+                    se3.index(rr.store.poses, k - 1), se3.index(rr.store.poses, k)
+                )
+                graph, _ = fg.add_edge(
+                    graph, jnp.int32(prev), jnp.int32(int(idx)), meas,
+                    jnp.int32(fg.ODOM), jnp.float32(1.0), jnp.float32(1.0),
+                )
+            prev = int(idx)
+
+    # ---- loop retrieval + verification -----------------------------------
+    loops: list[dict] = []
+    for ra in range(R):
+        Ka = int(robots[ra].store.count)
+        for rb in range(R):
+            if rb > ra:
+                continue  # each unordered pair once; allow ra==rb (self loops)
+            Kb = int(robots[rb].store.count)
+            if Ka == 0 or Kb == 0:
+                continue
+            for ia in range(Ka):
+                d, yaw = _descriptor_distances(descs[ra], ia, descs[rb], cfg)
+                d = np.array(d[:Kb])  # writable copy
+                yaw_np = np.asarray(yaw[:Kb]) if yaw is not None else np.zeros(Kb)
+                if ra == rb:
+                    lo = max(0, ia - cfg.loops.min_separation)
+                    hi = min(Kb, ia + cfg.loops.min_separation + 1)
+                    d[lo:hi] = np.inf
+                order = np.argsort(d)[: cfg.loops.candidates]
+                for ib in order:
+                    if not np.isfinite(d[ib]) or d[ib] > cfg.loops.dist_thresh:
+                        continue
+                    accept, rel, fit = _verify_loop(
+                        robots[ra].store, ia, robots[rb].store, int(ib),
+                        float(yaw_np[ib]), cfg, same_robot=(ra == rb),
+                    )
+                    if accept:
+                        loops.append(
+                            dict(
+                                robot_a=ra, kf_a=ia, robot_b=rb, kf_b=int(ib),
+                                rel=rel, fitness=fit, desc_dist=float(d[ib]),
+                            )
+                        )
+                if len(loops) >= cfg.loops.max_loops:
+                    break
+
+    # ---- PCM gating on inter-robot loops ---------------------------------
+    inter = [l for l in loops if l["robot_a"] != l["robot_b"]]
+    intra = [l for l in loops if l["robot_a"] == l["robot_b"]]
+    kept_inter = inter
+    if cfg.loops.use_pcm and len(inter) > 1:
+        pa = se3.stack([
+            se3.index(robots[l["robot_a"]].store.poses, l["kf_a"]) for l in inter
+        ])
+        pb = se3.stack([
+            se3.index(robots[l["robot_b"]].store.poses, l["kf_b"]) for l in inter
+        ])
+        meas = se3.stack([l["rel"] for l in inter])
+        keep = pcm.filter_loops(
+            pa, pb, meas, np.ones(len(inter), bool),
+            threshold=cfg.loops.pcm_threshold,
+        )
+        kept_inter = [l for l, k in zip(inter, keep) if k]
+
+    accepted = intra + kept_inter
+    for l in accepted:
+        i = int(node_of[l["robot_a"], l["kf_a"]])
+        j = int(node_of[l["robot_b"], l["kf_b"]])
+        kind = fg.INTRA_LOOP if l["robot_a"] == l["robot_b"] else fg.INTER_LOOP
+        # rel maps a->b frames: measurement for edge (i=a, j=b) is pose
+        # of b expressed in a = inverse(rel)? Convention: edge meas =
+        # between(pose_i, pose_j) = T_i^-1 T_j. rel = b_frame <- a_frame
+        # transform of POINTS, i.e. T_b^-1 T_a; so meas = rel^-1.
+        meas = se3.inverse(l["rel"])
+        graph, _ = fg.add_edge(
+            graph, jnp.int32(i), jnp.int32(j), meas, jnp.int32(kind),
+            jnp.float32(cfg.loops.w_rot), jnp.float32(cfg.loops.w_trans),
+        )
+
+    # ---- optimize --------------------------------------------------------
+    anchors = np.zeros(graph.node_capacity, bool)
+    for r in range(R):
+        if node_of[r, 0] >= 0:
+            anchors[int(node_of[r, 0])] = True
+    opt = chordal.optimize(
+        graph, jnp.asarray(anchors),
+        chordal.PGOConfig(
+            rot_cg_iters=cfg.pgo.rot_cg_iters, gn_iters=cfg.pgo.gn_iters,
+            pose_cg_iters=cfg.pgo.pose_cg_iters, robust_delta=cfg.pgo.robust_delta,
+        ),
+    )
+    return SlamResult(
+        robots=robots, graph=graph, opt_poses=opt, node_of=node_of,
+        loops=accepted,
+    )
+
+
+def compose_map(
+    result: SlamResult, leaf: float = 0.5, capacity: int = 1 << 17
+) -> pcl.PointCloud:
+    """Merged global cloud: every keyframe re-transformed by its
+    optimized pose, voxel-merged (`composeGlobalMap`,
+    `global_manager.cpp:2090-2236`)."""
+    parts_xyz = []
+    parts_mask = []
+    for r, rr in enumerate(result.robots):
+        K = int(rr.store.count)
+        if K == 0:
+            continue
+        ids = result.node_of[r, :K]
+        poses = Pose(result.opt_poses.R[ids], result.opt_poses.t[ids])
+        pts = (
+            jnp.einsum("kab,kpb->kpa", poses.R, rr.store.xyz[:K])
+            + poses.t[:, None, :]
+        )
+        parts_xyz.append(pts.reshape(-1, 3))
+        parts_mask.append(rr.store.mask[:K].reshape(-1))
+    merged = pcl.park(
+        pcl.PointCloud(jnp.concatenate(parts_xyz), jnp.concatenate(parts_mask))
+    )
+    return pcl.voxel_downsample(merged, leaf, capacity)
