@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry import se3
+from ..geometry import se3, so3
 from ..geometry.se3 import Pose
 from ..ops.pointcloud import PointCloud, park
 
@@ -160,6 +160,45 @@ def multi_robot_trajectories(
     return Pose(
         jnp.stack([t.R for t in trajs]), jnp.stack([t.t for t in trajs])
     )
+
+
+def imu_for_trajectory(
+    traj: Pose,
+    frame_dt: float = 0.1,
+    n_sub: int = 10,
+    key: jax.Array | None = None,
+    gyro_noise: float = 0.0,
+    acc_noise: float = 0.0,
+):
+    """Synthesize body-frame IMU packets between consecutive trajectory
+    poses: per sub-interval constant rates from the pose geodesic and
+    world-acceleration finite differences (+gravity reaction). Returns
+    (gyro (T-1, n_sub, 3), acc (T-1, n_sub, 3), dt (T-1, n_sub)).
+    """
+    from ..geometry import se3 as _se3
+
+    g_world = jnp.array([0.0, 0.0, -9.81])
+    T = traj.t.shape[0]
+    dt = frame_dt / n_sub
+    R0 = traj.R[:-1]
+    rel = _se3.between(
+        _se3.index(traj, slice(0, T - 1)), _se3.index(traj, slice(1, T))
+    )
+    # constant body rate over the frame interval
+    w_body = so3.log(rel.R) / frame_dt  # (T-1, 3)
+    # world velocity per interval; acceleration by finite difference
+    v_w = (traj.t[1:] - traj.t[:-1]) / frame_dt  # (T-1, 3)
+    dv = jnp.diff(v_w, axis=0, prepend=v_w[:1]) / frame_dt  # (T-1, 3)
+    # specific force in body frame at interval start attitude
+    f_body = jnp.einsum("tba,tb->ta", R0, dv - g_world)
+    gyro = jnp.repeat(w_body[:, None, :], n_sub, axis=1)
+    acc = jnp.repeat(f_body[:, None, :], n_sub, axis=1)
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+        gyro = gyro + gyro_noise * jax.random.normal(k1, gyro.shape)
+        acc = acc + acc_noise * jax.random.normal(k2, acc.shape)
+    dts = jnp.full((T - 1, n_sub), dt, jnp.float32)
+    return gyro, acc, dts
 
 
 def perturb_trajectory(key, traj: Pose, trans_sigma=0.02, rot_sigma=0.002) -> Pose:
