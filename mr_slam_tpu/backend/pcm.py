@@ -80,6 +80,18 @@ def consistency_matrix(
     return jnp.where(ok, M, jnp.inf)
 
 
+def max_clique(adj: np.ndarray) -> np.ndarray:
+    """Maximum clique: native exact branch-and-bound when the C++
+    library is built (`native/maxclique.cpp`, the twin of the
+    reference's fast_max-clique_finder), else the greedy heuristic."""
+    from .. import native
+
+    result = native.max_clique(np.asarray(adj, bool))
+    if result is not None:
+        return result
+    return max_clique_greedy(np.asarray(adj, bool))
+
+
 def max_clique_greedy(adj: np.ndarray, restarts: int = 32, seed: int = 0) -> np.ndarray:
     """Heuristic maximum clique on a boolean adjacency matrix (host).
 
@@ -129,7 +141,7 @@ def filter_loops(
     v = np.asarray(valid, bool)
     adj = (M < threshold) & (M.T < threshold)
     adj &= v[:, None] & v[None, :]
-    clique = max_clique_greedy(adj)
+    clique = max_clique(adj)
     keep = np.zeros(v.shape[0], bool)
     keep[clique] = True
     # singleton graphs: a single valid loop has no pair support; the

@@ -36,6 +36,18 @@ class RegistrationResult(NamedTuple):
     converged: jax.Array       # final update norm below tolerance
 
 
+def _select_best(best: jax.Array, K: int, *arrays):
+    """Select arrays[n, best[n], ...] via a one-hot contraction — avoids
+    take_along_axis row gathers (slow on TPU for tiny trailing dims;
+    for small K the one-hot multiply-add is pure VPU work)."""
+    sel = jax.nn.one_hot(best, K, dtype=jnp.float32)  # (N, K)
+    out = []
+    for a in arrays:
+        sub = "nk,nk" + "abcd"[: a.ndim - 2] + "->n" + "abcd"[: a.ndim - 2]
+        out.append(jnp.einsum(sub, sel, a))
+    return out
+
+
 def _gn_update(H: jax.Array, b: jax.Array, damping: float) -> jax.Array:
     """Solve (H + lambda diag(H)) dx = b for the 6-dof update."""
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
@@ -77,11 +89,9 @@ def vgicp(
         d2 = jnp.sum((mu - tp[:, None, :]) ** 2, axis=-1)
         d2 = jnp.where(found, d2, jnp.inf)
         best = jnp.argmin(d2, axis=-1)
-        mu_b = jnp.take_along_axis(mu, best[:, None, None].repeat(3, -1), 1)[:, 0]
-        Cv_b = jnp.take_along_axis(
-            Cv, best[:, None, None, None].repeat(3, -2).repeat(3, -1), 1
-        )[:, 0]
-        d2_b = jnp.take_along_axis(d2, best[:, None], axis=1)[:, 0]
+        K = d2.shape[1]
+        mu_b, Cv_b = _select_best(best, K, mu, Cv)
+        d2_b = jnp.min(d2, axis=-1)
         ok = source.mask & jnp.isfinite(d2_b) & (d2_b < max_corr_dist**2)
         w = ok.astype(jnp.float32)
         # Fused covariance and its inverse.
@@ -160,11 +170,10 @@ def point_to_plane_icp(
         # pooled neighbourhood mixes surfaces but one cell is planar).
         d2k = jnp.where(found, jnp.sum((mu - tp[:, None, :]) ** 2, -1), jnp.inf)
         best = jnp.argmin(d2k, axis=-1)
-        mu_c = jnp.take_along_axis(mu, best[:, None, None].repeat(3, -1), 1)[:, 0]
-        Cv_c = jnp.take_along_axis(
-            Cv, best[:, None, None, None].repeat(3, -2).repeat(3, -1), 1
-        )[:, 0]
-        cnt_c = jnp.take_along_axis(jnp.where(found, cnt, 0.0), best[:, None], 1)[:, 0]
+        K = d2k.shape[1]
+        mu_c, Cv_c, cnt_c = _select_best(
+            best, K, mu, Cv, jnp.where(found, cnt, 0.0)
+        )
 
         def planarity(C):
             evals, V = linalg3.eigh3(C + 1e-9 * jnp.eye(3))
@@ -221,11 +230,8 @@ def fitness(
     dc2 = jnp.sum((mu - tp[:, None, :]) ** 2, axis=-1)
     dc2 = jnp.where(found, dc2, jnp.inf)
     best = jnp.argmin(dc2, axis=-1)
-    mu_b = jnp.take_along_axis(mu, best[:, None, None].repeat(3, -1), 1)[:, 0]
-    Cv_b = jnp.take_along_axis(
-        Cv, best[:, None, None, None].repeat(3, -2).repeat(3, -1), 1
-    )[:, 0]
-    dc2_b = jnp.take_along_axis(dc2, best[:, None], 1)[:, 0]
+    mu_b, Cv_b = _select_best(best, dc2.shape[1], mu, Cv)
+    dc2_b = jnp.min(dc2, axis=-1)
     evals, V = linalg3.eigh3(Cv_b + 1e-9 * jnp.eye(3))
     n = V[..., :, 0]
     planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)

@@ -15,6 +15,14 @@ entirely from scatters and gathers:
     (DIRECT1 / DIRECT7 / DIRECT27 like fast_gicp's NeighborSearchMethod)
     with pure gathers.
 
+Memory layout is performance-critical: the whole cell is PACKED into one
+(H, 16) float32 row [coords(3) count mean(3) cov_sym(6) valid pad(2)] so
+a lookup is a single contiguous row gather. Gathering the same data from
+separate (H,), (H,3), (H,3,3) arrays measures ~10x slower on TPU (small
+strided gathers); see bench notes in the round-1 log. Voxel coords are
+exact in float32 for any |coord| < 2^24 (bounds crops guarantee this);
+the UNCLAIMED sentinel 2^30 is also exact.
+
 All shapes static; collisions lose points (bounded by table load
 factor), which only thins the map slightly — same failure mode as
 voxel downsampling.
@@ -33,28 +41,75 @@ from .pointcloud import PointCloud
 # wraparound is part of the hash.
 _P1, _P2, _P3 = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D
 
+_UNCLAIMED = jnp.int32(2**30)
+
+# packed row layout
+_C0, _CNT, _MU, _COV, _VALID = 0, 3, 4, 7, 13
+_ROW = 16
+# symmetric cov order: xx yy zz xy xz yz
+_SYM_I = jnp.array([0, 1, 2, 0, 0, 1])
+_SYM_J = jnp.array([0, 1, 2, 1, 2, 2])
+
+
+def _sym6_from_cov(cov: jax.Array) -> jax.Array:
+    """(..., 3, 3) -> (..., 6)."""
+    return cov[..., _SYM_I, _SYM_J]
+
+
+def _cov_from_sym6(s: jax.Array) -> jax.Array:
+    """(..., 6) -> (..., 3, 3)."""
+    xx, yy, zz, xy, xz, yz = (s[..., k] for k in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1),
+        ],
+        axis=-2,
+    )
+
 
 class VoxelGrid(NamedTuple):
-    """Open-addressed voxel table of Gaussian cells.
+    """Open-addressed voxel table of Gaussian cells (packed rows)."""
 
-    coords:  (H, 3) int32 voxel coordinate of the cell (claim-verified)
-    count:   (H,)   float32 number of points merged into the cell
-    mean:    (H, 3) centroid
-    cov:     (H, 3, 3) covariance (regularized if requested)
-    valid:   (H,)   bool cell occupied
-    leaf:    ()     float32 voxel edge length
-    """
-
-    coords: jax.Array
-    count: jax.Array
-    mean: jax.Array
-    cov: jax.Array
-    valid: jax.Array
-    leaf: jax.Array
+    packed: jax.Array  # (H, 16) float32
+    leaf: jax.Array    # () float32
 
     @property
     def table_size(self) -> int:
-        return self.coords.shape[0]
+        return self.packed.shape[-2]
+
+    # --- derived views (cheap slices; use sparingly on hot paths) -----
+    @property
+    def coords(self) -> jax.Array:
+        return self.packed[..., _C0:_C0 + 3].astype(jnp.int32)
+
+    @property
+    def count(self) -> jax.Array:
+        return self.packed[..., _CNT]
+
+    @property
+    def mean(self) -> jax.Array:
+        return self.packed[..., _MU:_MU + 3]
+
+    @property
+    def cov(self) -> jax.Array:
+        return _cov_from_sym6(self.packed[..., _COV:_COV + 6])
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.packed[..., _VALID] > 0.5
+
+
+def _pack(coords_i, count, mean, cov, valid) -> jax.Array:
+    H = count.shape[-1]
+    row = jnp.zeros((*count.shape, _ROW), jnp.float32)
+    row = row.at[..., _C0:_C0 + 3].set(coords_i.astype(jnp.float32))
+    row = row.at[..., _CNT].set(count)
+    row = row.at[..., _MU:_MU + 3].set(mean)
+    row = row.at[..., _COV:_COV + 6].set(_sym6_from_cov(cov))
+    row = row.at[..., _VALID].set(valid.astype(jnp.float32))
+    return row
 
 
 def _hash(ijk: jax.Array, table_size: int) -> jax.Array:
@@ -132,14 +187,8 @@ def build(
         scale = jnp.maximum(evals[..., 2:3], 1e-6)
         clamped = jnp.maximum(evals / scale, 1e-3) * scale
         cov = jnp.einsum("hik,hk,hjk->hij", V, clamped, V)
-    return VoxelGrid(
-        coords=jnp.where(have_owner[:, None], cell_coord, jnp.int32(2**30)),
-        count=count,
-        mean=mean,
-        cov=cov,
-        valid=valid,
-        leaf=leaf,
-    )
+    coords_i = jnp.where(have_owner[:, None], cell_coord, _UNCLAIMED)
+    return VoxelGrid(packed=_pack(coords_i, count, mean, cov, valid), leaf=leaf)
 
 
 # Neighbour offset sets, mirroring fast_gicp NeighborSearchMethod.
@@ -162,15 +211,37 @@ OFFSETS = {
 def lookup(grid: VoxelGrid, xyz: jax.Array, neighbors: str = "direct1"):
     """Gather the Gaussian cells containing `xyz` (M, 3) and neighbours.
 
-    Returns per query and per offset K:
+    ONE contiguous row gather per (query, offset); everything else is
+    slicing the gathered rows. Returns per query and per offset K:
       found (M, K) bool, count (M, K), mean (M, K, 3), cov (M, K, 3, 3).
     """
     offs = OFFSETS[neighbors]
     ijk = jnp.floor(xyz / grid.leaf).astype(jnp.int32)
     nijk = ijk[:, None, :] + offs[None, :, :]  # (M, K, 3)
     slot = _hash(nijk, grid.table_size)
-    found = grid.valid[slot] & jnp.all(grid.coords[slot] == nijk, axis=-1)
-    return found, grid.count[slot], grid.mean[slot], grid.cov[slot]
+    rows = grid.packed[slot]  # (M, K, 16) — single row gather
+    found = (rows[..., _VALID] > 0.5) & jnp.all(
+        rows[..., _C0:_C0 + 3] == nijk.astype(jnp.float32), axis=-1
+    )
+    count = rows[..., _CNT]
+    mean = rows[..., _MU:_MU + 3]
+    cov = _cov_from_sym6(rows[..., _COV:_COV + 6])
+    return found, count, mean, cov
+
+
+@partial(jax.jit, static_argnames=("neighbors",))
+def lookup_rows(grid: VoxelGrid, xyz: jax.Array, neighbors: str = "direct1"):
+    """Raw packed lookup for fused consumers: (rows (M, K, 16),
+    found (M, K)). Row layout: see module docstring."""
+    offs = OFFSETS[neighbors]
+    ijk = jnp.floor(xyz / grid.leaf).astype(jnp.int32)
+    nijk = ijk[:, None, :] + offs[None, :, :]
+    slot = _hash(nijk, grid.table_size)
+    rows = grid.packed[slot]
+    found = (rows[..., _VALID] > 0.5) & jnp.all(
+        rows[..., _C0:_C0 + 3] == nijk.astype(jnp.float32), axis=-1
+    )
+    return rows, found
 
 
 @jax.jit
@@ -178,9 +249,6 @@ def nearest_cell(grid: VoxelGrid, xyz: jax.Array):
     """Single-cell lookup convenience: (found (M,), mean, cov, count)."""
     found, count, mean, cov = lookup(grid, xyz, "direct1")
     return found[:, 0], mean[:, 0], cov[:, 0], count[:, 0]
-
-
-_UNCLAIMED = jnp.int32(2**30)
 
 
 @partial(jax.jit, static_argnames=("min_points",))
@@ -197,15 +265,17 @@ def insert(grid: VoxelGrid, pc: PointCloud, min_points: int = 1) -> VoxelGrid:
     leaf = grid.leaf
     ijk = jnp.floor(pc.xyz / leaf).astype(jnp.int32)
     n = pc.xyz.shape[0]
-    slot = _hash(ijk, grid.table_size)
-    occupied = jnp.any(grid.coords != _UNCLAIMED, axis=-1) | (grid.count > 0)
+    table_size = grid.table_size
+    slot = _hash(ijk, table_size)
+    coords0 = grid.coords
+    occupied = jnp.any(coords0 != _UNCLAIMED, axis=-1) | (grid.count > 0)
     # New points may claim currently-unoccupied slots.
-    claim = jnp.full((grid.table_size,), n, jnp.int32).at[slot].min(
+    claim = jnp.full((table_size,), n, jnp.int32).at[slot].min(
         jnp.where(pc.mask, jnp.arange(n, dtype=jnp.int32), n)
     )
     newly_claimed = (~occupied) & (claim < n)
     owner_coord = jnp.where(
-        occupied[:, None], grid.coords, ijk[jnp.minimum(claim, n - 1)]
+        occupied[:, None], coords0, ijk[jnp.minimum(claim, n - 1)]
     )
     owner_coord = jnp.where(
         (occupied | newly_claimed)[:, None], owner_coord, _UNCLAIMED
@@ -214,8 +284,9 @@ def insert(grid: VoxelGrid, pc: PointCloud, min_points: int = 1) -> VoxelGrid:
     w = contrib.astype(jnp.float32)
     # Reconstruct moments, accumulate, renormalize.
     c0 = grid.count
-    xsum = grid.mean * c0[:, None]
-    xxsum = (grid.cov + jnp.einsum("hi,hj->hij", grid.mean, grid.mean)) * c0[
+    mean0 = grid.mean
+    xsum = mean0 * c0[:, None]
+    xxsum = (grid.cov + jnp.einsum("hi,hj->hij", mean0, mean0)) * c0[
         :, None, None
     ]
     count = c0.at[slot].add(w)
@@ -228,9 +299,7 @@ def insert(grid: VoxelGrid, pc: PointCloud, min_points: int = 1) -> VoxelGrid:
         "hi,hj->hij", mean, mean
     )
     valid = (count >= min_points) & jnp.any(owner_coord != _UNCLAIMED, axis=-1)
-    return VoxelGrid(
-        coords=owner_coord, count=count, mean=mean, cov=cov, valid=valid, leaf=leaf
-    )
+    return VoxelGrid(packed=_pack(owner_coord, count, mean, cov, valid), leaf=leaf)
 
 
 @jax.jit
@@ -238,25 +307,19 @@ def decay(grid: VoxelGrid, center: jax.Array, radius: float) -> VoxelGrid:
     """Drop cells farther than `radius` from `center`, freeing their
     slots — the moving-FOV map trim (`lasermap_fov_segment`,
     `laserMapping.cpp:232-276`, ikd-tree box delete)."""
-    keep = jnp.linalg.norm(grid.mean - center[None, :], axis=-1) <= radius
-    keep = keep & (grid.count > 0)
-    return VoxelGrid(
-        coords=jnp.where(keep[:, None], grid.coords, _UNCLAIMED),
-        count=jnp.where(keep, grid.count, 0.0),
-        mean=jnp.where(keep[:, None], grid.mean, 0.0),
-        cov=jnp.where(keep[:, None, None], grid.cov, 0.0),
-        valid=grid.valid & keep,
-        leaf=grid.leaf,
+    keep = (
+        jnp.linalg.norm(grid.mean - center[None, :], axis=-1) <= radius
+    ) & (grid.count > 0)
+    empty_row = jnp.zeros((_ROW,), jnp.float32).at[_C0:_C0 + 3].set(
+        jnp.float32(_UNCLAIMED)
     )
+    packed = jnp.where(keep[:, None], grid.packed, empty_row[None, :])
+    return VoxelGrid(packed=packed, leaf=grid.leaf)
 
 
 def empty(leaf: float, table_size: int) -> VoxelGrid:
     """An all-unclaimed grid (odometry map initial state)."""
-    return VoxelGrid(
-        coords=jnp.full((table_size, 3), _UNCLAIMED, jnp.int32),
-        count=jnp.zeros((table_size,), jnp.float32),
-        mean=jnp.zeros((table_size, 3), jnp.float32),
-        cov=jnp.zeros((table_size, 3, 3), jnp.float32),
-        valid=jnp.zeros((table_size,), bool),
-        leaf=jnp.float32(leaf),
+    row = jnp.zeros((table_size, _ROW), jnp.float32).at[:, _C0:_C0 + 3].set(
+        jnp.float32(_UNCLAIMED)
     )
+    return VoxelGrid(packed=row, leaf=jnp.float32(leaf))
