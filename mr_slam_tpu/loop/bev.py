@@ -123,17 +123,23 @@ def polar_max_height(
 
 
 @partial(jax.jit, static_argnames=("h", "w", "k"))
-def eigen_feature_bev(pc_norm: PointCloud, h: int = 120, w: int = 120, k: int = 16):
+def eigen_feature_bev(
+    pc: PointCloud, h: int = 120, w: int = 120, k: int = 16, xy_max: float = 70.0
+):
     """RING++ multi-channel feature BEV (`generate_bev_pointfeat_cython/
     src/kernel.cu:16-60` + `util.py:115-170`): per-point neighbourhood
-    eigen statistics scattered (mean) into 6 channels:
-    linearity, planarity, sphericity, omnivariance, anisotropy,
-    eigen-entropy. Neighbourhoods via brute-force kNN (k=16).
+    eigen statistics scattered (mean) into 6 channels: linearity,
+    planarity, sphericity, omnivariance, anisotropy, eigen-entropy.
+
+    Takes the METRIC body-frame cloud (neighbourhoods must be computed
+    in metric space — normalizing first squashes z and degenerates every
+    local covariance); BEV cell indices come from metric x/y over
+    [-xy_max, xy_max]. Neighbourhoods via brute-force kNN.
 
     Returns (6, h, w)."""
     from ..ops.pointcloud import covariances_knn
 
-    mean, cov, valid = covariances_knn(pc_norm, k=k)
+    mean, cov, valid = covariances_knn(pc, k=k)
     evals = jnp.maximum(linalg3.eigvalsh3(cov), 1e-12)  # ascending
     e1, e2, e3 = evals[:, 2], evals[:, 1], evals[:, 0]  # descending
     esum = e1 + e2 + e3
@@ -145,10 +151,15 @@ def eigen_feature_bev(pc_norm: PointCloud, h: int = 120, w: int = 120, k: int = 
     p = evals / esum[:, None]
     E = -jnp.sum(p * jnp.log(p), axis=-1)
     feats = jnp.stack([L, P, S, O, A, E], axis=-1)  # (N, 6)
-    i = jnp.clip(((pc_norm.xyz[:, 1] + 1.0) * 0.5 * h).astype(jnp.int32), 0, h - 1)
-    j = jnp.clip(((pc_norm.xyz[:, 0] + 1.0) * 0.5 * w).astype(jnp.int32), 0, w - 1)
+    i = jnp.clip(
+        ((pc.xyz[:, 1] / xy_max + 1.0) * 0.5 * h).astype(jnp.int32), 0, h - 1
+    )
+    j = jnp.clip(
+        ((pc.xyz[:, 0] / xy_max + 1.0) * 0.5 * w).astype(jnp.int32), 0, w - 1
+    )
+    inb = (jnp.abs(pc.xyz[:, 0]) < xy_max) & (jnp.abs(pc.xyz[:, 1]) < xy_max)
     flat = i * w + j
-    wm = (pc_norm.mask & valid).astype(jnp.float32)
+    wm = (pc.mask & valid & inb).astype(jnp.float32)
     num = jnp.zeros((h * w, 6), jnp.float32).at[flat].add(feats * wm[:, None])
     den = jnp.zeros((h * w,), jnp.float32).at[flat].add(wm)
     bev = num / jnp.maximum(den[:, None], 1.0)

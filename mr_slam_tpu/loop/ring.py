@@ -93,6 +93,43 @@ def describe(bev: jax.Array, n_angles: int = 120) -> RingDescriptor:
     return RingDescriptor(sinogram=sino, tiring=tiring)
 
 
+class RingPPDescriptor(NamedTuple):
+    sinograms: jax.Array  # (C, A, W) per-channel RING
+    tirings: jax.Array    # (C, A, W) per-channel |FFT_row|
+
+
+@partial(jax.jit, static_argnames=("n_angles",))
+def describe_ringpp(feature_bev: jax.Array, n_angles: int = 120) -> RingPPDescriptor:
+    """RING++ (`util.py:204-250`): per-channel Radon of the eigen-feature
+    BEV (see `bev.eigen_feature_bev`), per-channel row-FFT magnitudes.
+    Channels are kept separate; matching sums correlation over channels
+    (`fast_corr_RINGplusplus`, `util.py:337-358`)."""
+    def one(ch):
+        s = radon(ch, n_angles)
+        s = s / jnp.maximum(jnp.linalg.norm(s), 1e-9)
+        return s, jnp.abs(jnp.fft.fft(s, axis=-1))
+
+    sino, tiring = jax.vmap(one)(feature_bev)
+    return RingPPDescriptor(sinograms=sino, tirings=tiring)
+
+
+@jax.jit
+def correlate_multichannel(query: jax.Array, database: jax.Array):
+    """Multi-channel circular correlation: query (C, A, W) vs database
+    (D, C, A, W). Correlation scores sum over channels before the peak
+    pick (`fast_corr_RINGplusplus`). Returns (dist (D,), shift (D,))."""
+    fq = jnp.fft.fft(query, axis=-2)          # (C, A, W)
+    fd = jnp.fft.fft(database, axis=-2)       # (D, C, A, W)
+    corr = jnp.fft.ifft(jnp.conj(fq)[None] * fd, axis=-2).real
+    score = jnp.sum(corr, axis=(-3, -1))      # (D, A): sum channels+tau
+    peak = jnp.max(score, axis=-1)
+    shift = jnp.argmax(score, axis=-1)
+    qn = jnp.linalg.norm(query)
+    dn = jnp.sqrt(jnp.sum(database * database, axis=(-3, -2, -1)))
+    dist = 1.0 - peak / jnp.maximum(qn * dn, 1e-9)
+    return dist, shift
+
+
 @jax.jit
 def correlate(query: jax.Array, database: jax.Array):
     """Circular cross-correlation over the angle axis between a query

@@ -118,6 +118,24 @@ def compute_descriptors(store: kf.KeyframeStore, cfg: SlamConfig):
             return d.signature, d.spectrum
         sig, spec = jax.vmap(one)(clouds)
         return {"sig": sig, "spec": spec}
+    if method == "ringpp":
+        def one(c):
+            fb = bev.eigen_feature_bev(c, 120, 120, k=8)
+            d = ring.describe_ringpp(fb)
+            return d.sinograms, d.tirings
+        sino, tiring = jax.vmap(one)(clouds)
+        return {"sino_pp": sino, "tiring_pp": tiring}
+    if method == "m2dp":
+        from . import pipeline as _self  # noqa
+        from ..loop import m2dp
+
+        sig = jax.vmap(m2dp.describe)(clouds)
+        return {"m2dp": sig}
+    if method == "fasthist":
+        from ..loop import fast_histogram
+
+        sig = jax.vmap(fast_histogram.describe)(clouds)
+        return {"hist": sig}
     raise ValueError(f"unknown loop method {method}")
 
 
@@ -146,6 +164,20 @@ def _descriptor_distances(desc_q: dict, qi: int, desc_db: dict, cfg: SlamConfig)
             lambda spec: disco.relative_yaw(desc_q["spec"][qi], spec)[0]
         )(desc_db["spec"])
         return d, yaws
+    if m == "ringpp":
+        d, shift = ring.correlate_multichannel(
+            desc_q["tiring_pp"][qi], desc_db["tiring_pp"]
+        )
+        n_angles = desc_db["tiring_pp"].shape[-2]
+        return d, ring.shift_to_yaw(shift, n_angles)
+    if m == "m2dp":
+        d = jnp.linalg.norm(desc_db["m2dp"] - desc_q["m2dp"][qi][None], axis=-1)
+        return d, jnp.zeros_like(d)
+    if m == "fasthist":
+        from ..loop import fast_histogram
+
+        d = fast_histogram.distance(desc_q["hist"][qi], desc_db["hist"])
+        return d, jnp.zeros_like(d)
     raise ValueError(m)
 
 
