@@ -1,0 +1,90 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mr_slam_tpu.backend import factor_graph as fg
+from mr_slam_tpu.datasets import synthetic
+from mr_slam_tpu.eval import pcd
+from mr_slam_tpu.frontend import odometry
+from mr_slam_tpu.geometry import se3
+from mr_slam_tpu.ops import pointcloud as pcl
+from mr_slam_tpu.runtime import checkpoint, online, persistence
+from mr_slam_tpu.runtime.config import SlamConfig, LoopCfg, OdometryCfg
+from tests.test_pipeline import make_scans, SMALL_CFG
+
+
+class TestCheckpoint:
+    def test_roundtrip_odometry_state(self, tmp_path):
+        config = odometry.OdometryConfig(table_size=1 << 10, scan_capacity=256)
+        state = odometry.init(config)
+        scan = pcl.pad_to(
+            pcl.make(jax.random.uniform(jax.random.PRNGKey(0), (128, 3), minval=-5, maxval=5)),
+            256,
+        )
+        state, _ = odometry.step(state, scan, config)
+        path = str(tmp_path / "ckpt.npz")
+        checkpoint.save(path, state)
+        template = odometry.init(config)
+        restored = checkpoint.restore(path, template)
+        np.testing.assert_allclose(restored.grid.packed, state.grid.packed)
+        assert int(restored.frame) == 1
+        # restored state continues stepping
+        state2, _ = odometry.step(restored, scan, config)
+        assert int(state2.frame) == 2
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        path = str(tmp_path / "c.npz")
+        checkpoint.save(path, {"a": jnp.zeros((3,))})
+        with pytest.raises((ValueError, KeyError)):
+            checkpoint.restore(path, {"a": jnp.zeros((4,))})
+
+
+class TestPCD:
+    def test_roundtrip_binary(self, tmp_path):
+        xyz = np.random.default_rng(0).random((100, 3)).astype(np.float32)
+        p = str(tmp_path / "a.pcd")
+        pcd.write_pcd(p, xyz)
+        back = pcd.read_pcd(p)
+        np.testing.assert_allclose(back[:, :3], xyz, atol=1e-6)
+
+    def test_roundtrip_ascii_intensity(self, tmp_path):
+        xyz = np.random.default_rng(1).random((50, 3)).astype(np.float32)
+        inten = np.arange(50, dtype=np.float32)
+        p = str(tmp_path / "b.pcd")
+        pcd.write_pcd(p, xyz, binary=False, intensity=inten)
+        back = pcd.read_pcd(p)
+        np.testing.assert_allclose(back[:, :3], xyz, atol=1e-5)
+        np.testing.assert_allclose(back[:, 3], inten, atol=1e-5)
+
+
+@pytest.mark.slow
+class TestOnline:
+    def test_online_matches_batch_shape(self, tmp_path):
+        world = synthetic.default_world(5)
+        n = 60
+        traj = synthetic.circle_trajectory(n, radius=22.0, laps=1.15)
+        scans = make_scans(world, traj, n)
+        sess = online.OnlineSlam(SMALL_CFG)
+        sess.register_robot(0, se3.index(traj, 0))
+        for i in range(n):
+            sess.add_frame(0, pcl.PointCloud(scans.xyz[i], scans.mask[i]), stamp=float(i))
+        res = sess.result()
+        K = int(res.robots[0].store.count)
+        assert K >= 8
+        assert len(res.loops) >= 1, "online session found no loops"
+        # optimized trajectory finite and anchored
+        opt = res.optimized_trajectory(0)
+        assert bool(jnp.all(jnp.isfinite(opt.t)))
+        np.testing.assert_allclose(opt.t[0], traj.t[0], atol=0.5)
+        # artifact dump
+        out = str(tmp_path / "artifacts")
+        persistence.save_artifacts(out, res)
+        assert os.path.exists(os.path.join(out, "fullGraph.g2o"))
+        assert os.path.exists(os.path.join(out, "fullGraph_optimized.g2o"))
+        assert os.path.exists(os.path.join(out, "map.pcd"))
+        assert os.path.isdir(os.path.join(out, "keyframes", "0_0"))
+        tfs = persistence.map_to_odom_transforms(res)
+        assert len(tfs) == 1
