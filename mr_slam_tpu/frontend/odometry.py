@@ -44,6 +44,7 @@ class OdometryConfig(NamedTuple):
 
 class OdometryState(NamedTuple):
     grid: voxel_grid.VoxelGrid
+    coarse_grid: voxel_grid.VoxelGrid  # 4x leaf, for wide-basin align
     pose: Pose        # world <- body, current frame
     prev_pose: Pose   # world <- body, previous frame
     frame: jax.Array  # int32 frame counter
@@ -54,6 +55,9 @@ def init(config: OdometryConfig, origin: Pose | None = None) -> OdometryState:
         origin = se3.identity()
     return OdometryState(
         grid=voxel_grid.empty(config.map_leaf, config.table_size),
+        coarse_grid=voxel_grid.empty(
+            4.0 * config.map_leaf, config.table_size // 4
+        ),
         pose=origin,
         prev_pose=origin,
         frame=jnp.int32(0),
@@ -73,10 +77,22 @@ def step(state: OdometryState, scan: pcl.PointCloud, config: OdometryConfig):
     pred = se3.compose(state.pose, motion)
 
     def register(_):
+        # Coarse stage: 4x-leaf grid with direct27 probes gives a wide
+        # convergence basin (several metres) — rescues bootstrap frames
+        # and fast motion where the prediction is poor. Fine stage
+        # refines against the full-resolution map.
+        coarse = registration.point_to_plane_icp(
+            ds,
+            state.coarse_grid,
+            pred,
+            iters=4,
+            max_corr_dist=8.0 * config.map_leaf,
+            neighbors="direct27",
+        )
         res = registration.point_to_plane_icp(
             ds,
             state.grid,
-            pred,
+            coarse.pose,
             iters=config.iters,
             max_corr_dist=config.max_corr_dist,
             neighbors="direct7",
@@ -100,8 +116,12 @@ def step(state: OdometryState, scan: pcl.PointCloud, config: OdometryConfig):
     world_pts = pcl.transform(fine, new_pose)
     grid = voxel_grid.insert(state.grid, world_pts)
     grid = voxel_grid.decay(grid, new_pose.t, config.map_radius)
+    coarse_pts = pcl.transform(ds, new_pose)
+    coarse_grid = voxel_grid.insert(state.coarse_grid, coarse_pts)
+    coarse_grid = voxel_grid.decay(coarse_grid, new_pose.t, config.map_radius)
     new_state = OdometryState(
-        grid=grid, pose=new_pose, prev_pose=state.pose, frame=state.frame + 1
+        grid=grid, coarse_grid=coarse_grid, pose=new_pose,
+        prev_pose=state.pose, frame=state.frame + 1,
     )
     diag = {"error": err, "inliers": inliers}
     return new_state, diag
