@@ -353,6 +353,44 @@ def run(
     )
 
 
+def build_elevation(
+    result: SlamResult,
+    cfg: SlamConfig,
+    center=(0.0, 0.0),
+    size: int = 600,
+):
+    """Fuse every optimized keyframe cloud into one global 2.5D
+    elevation map + terrain features + costmap — the reference's
+    "merged elevation map -> costmap" product (`composeGlobalMap` +
+    `pointMap_layer`). `size` cells at cfg.elevation.resolution."""
+    from ..mapping import costmap as costmap_mod
+    from ..mapping import elevation
+
+    emap = elevation.init(
+        size=size, resolution=cfg.elevation.resolution, center=center
+    )
+    for r, rr in enumerate(result.robots):
+        K = int(rr.store.count)
+        if K == 0:
+            continue
+        ids = result.node_of[r, :K]
+        poses = Pose(result.opt_poses.R[ids], result.opt_poses.t[ids])
+        pts = (
+            jnp.einsum("kab,kpb->kpa", poses.R, rr.store.xyz[:K])
+            + poses.t[:, None, :]
+        )
+        cloud = pcl.park(
+            pcl.PointCloud(pts.reshape(-1, 3), rr.store.mask[:K].reshape(-1))
+        )
+        var = elevation.sensor_variance(cloud.xyz)
+        emap = elevation.fuse(emap, cloud, var)
+    feats = elevation.features(emap)
+    cm = costmap_mod.from_elevation(
+        emap, feats, travers_thresh=cfg.elevation.travers_thresh
+    )
+    return emap, feats, cm
+
+
 def compose_map(
     result: SlamResult, leaf: float = 0.5, capacity: int = 1 << 17
 ) -> pcl.PointCloud:
