@@ -20,6 +20,15 @@ iteration's per-point work on-chip:
 Mirrors fast_gicp's FAST_VGICP_CUDA update (`global_manager.cpp:
 2447-2457`) with the CUDA scatter-reduce replaced by block-local
 accumulation.
+
+STATUS (v5e, round-1 measurement): numerically verified and runs
+compiled on hardware, but the one-hot contraction performs ~table_size/1
+more multiply-adds than a true gather, and this Mosaic toolchain lacks
+in-kernel dynamic gather (`jnp.take` fails to lower; scalar reductions,
+stacks and scatters hit lowering bugs — see kernel comments). Measured
+55 reg/s vs 156 reg/s for the XLA path on the 32x4096x50-iter workload,
+so `ops/registration.py` remains the production path; this kernel is
+the drop-in alternative for toolchains with working `dynamic_gather`.
 """
 from __future__ import annotations
 
@@ -59,21 +68,24 @@ def _hash_u32(i, j, k, table_size):
 
 
 def _accum_kernel(scalars_ref, pts_ref, mask_ref, table_ref, out_ref):
-    """One block of points -> one partial [H|b|cost|n] row.
+    """One block of points of one batch item -> accumulate into that
+    item's [H|b|cost|n] tile.
 
-    scalars: (8,) f32 [leaf, eps, max_corr2, R flattened? no —] layout:
-      [0]=leaf, [1]=eps, [2]=max_corr2; pose arrives via pts already
-      transformed on the XLA side (cheap) so the kernel is pose-free.
+    Batch is an explicit leading grid dimension (vmap over pallas_call
+    produces 3-D vectors that trip Mosaic's reduction lowering); all
+    refs carry a leading block dim of 1 that is indexed away here.
+    scalars layout: [0]=leaf, [1]=eps, [2]=max_corr2. The pose is
+    applied on the XLA side so the kernel is pose-free.
     """
     leaf = scalars_ref[0, 0]
     eps = scalars_ref[0, 1]
     max_corr2 = scalars_ref[0, 2]
-    H_table = table_ref.shape[0]
+    H_table = table_ref.shape[1]
 
-    x = pts_ref[:, 0]
-    y = pts_ref[:, 1]
-    z = pts_ref[:, 2]
-    m = mask_ref[:, 0]
+    x = pts_ref[0, :, 0]
+    y = pts_ref[0, :, 1]
+    z = pts_ref[0, :, 2]
+    m = mask_ref[0, :, 0]
 
     fi = jnp.floor(x / leaf)
     fj = jnp.floor(y / leaf)
@@ -89,7 +101,7 @@ def _accum_kernel(scalars_ref, pts_ref, mask_ref, table_ref, out_ref):
         base = c * CHUNK
         iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, CHUNK), 1) + base
         oh = (slot[:, None] == iota).astype(jnp.float32)
-        chunk = table_ref[pl.ds(base, CHUNK), :]
+        chunk = table_ref[0, pl.ds(base, CHUNK), :]
         rows = rows + jnp.dot(oh, chunk, preferred_element_type=jnp.float32)
 
     # unpack (see voxel_grid packed layout)
@@ -139,15 +151,6 @@ def _accum_kernel(scalars_ref, pts_ref, mask_ref, table_ref, out_ref):
     u1 = w01 * r0 + w11 * r1 + w12 * r2
     u2 = w02 * r0 + w12 * r1 + w22 * r2
 
-    # b = sum [u ; tp x u]
-    s = jnp.sum
-    b0 = s(u0)
-    b1 = s(u1)
-    b2 = s(u2)
-    b3 = s(y * u2 - z * u1)
-    b4 = s(z * u0 - x * u2)
-    b5 = s(x * u1 - y * u0)
-
     # D = W h, with h = hat(tp); columns:
     # D[:,0] = z W[:,1] - y W[:,2]; D[:,1] = -z W[:,0] + x W[:,2];
     # D[:,2] = y W[:,0] - x W[:,1]
@@ -169,35 +172,30 @@ def _accum_kernel(scalars_ref, pts_ref, mask_ref, table_ref, out_ref):
     E12 = -z * D02 + x * D22
     E22 = y * D02 - x * D12
 
-    # H = [[W, -D], [-D^T, E]] summed over points (upper triangle; the
-    # XLA side symmetrizes)
-    Hv = [
-        s(w00), s(w01), s(w02), s(-D00), s(-D01), s(-D02),
-        s(w11), s(w12), s(-D10), s(-D11), s(-D12),
-        s(w22), s(-D20), s(-D21), s(-D22),
-        s(E00), s(E01), s(E02),
-        s(E11), s(E12),
-        s(E22),
+    # Emit the 29 per-point integrands as ROWS of the (32, BLK) output
+    # block; the final sum over points happens outside in XLA (a
+    # trivially fused reduction over ~N*32 floats). In-kernel scalar
+    # reductions, stacks and scatters all hit Mosaic lowering bugs on
+    # this toolchain; static row stores of full vectors lower cleanly.
+    integrands = [
+        # H upper triangle (21), order matches _TRI
+        w00, w01, w02, -D00, -D01, -D02,
+        w11, w12, -D10, -D11, -D12,
+        w22, -D20, -D21, -D22,
+        E00, E01, E02,
+        E11, E12,
+        E22,
+        # b (6)
+        u0, u1, u2,
+        y * u2 - z * u1, z * u0 - x * u2, x * u1 - y * u0,
+        # cost, inlier count
+        r0 * u0 + r1 * u1 + r2 * u2, w,
     ]
-    cost = s(r0 * u0 + r1 * u1 + r2 * u2)
-    n_in = s(w)
-
-    # One (8, 128)-tile accumulator shared across sequential grid steps.
-    # Scalars are placed via iota masks (scatter doesn't lower in
-    # Mosaic; masked adds are pure VPU selects).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, OUT_LANES), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, OUT_LANES), 0)
-    contrib = jnp.zeros((8, OUT_LANES), jnp.float32)
-    for i, v in enumerate(Hv + [b0, b1, b2, b3, b4, b5, cost, n_in]):
-        contrib = contrib + jnp.where((row == 0) & (lane == i), v, 0.0)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        out_ref[:, :] = contrib
-
-    @pl.when(pl.program_id(0) != 0)
-    def _acc():
-        out_ref[:, :] = out_ref[:, :] + contrib
+    for k, v in enumerate(integrands):
+        out_ref[0, k, :] = v
+    out_ref[0, 29, :] = w * 0.0
+    out_ref[0, 30, :] = w * 0.0
+    out_ref[0, 31, :] = w * 0.0
 
 
 _TRI = [  # (row, col) order of the 21 upper-triangle entries above
@@ -211,6 +209,83 @@ _TRI = [  # (row, col) order of the 21 upper-triangle entries above
 
 
 @partial(jax.jit, static_argnames=("interpret",))
+def gn_accumulate_batch(
+    tp: jax.Array,          # (B, N, 3) transformed points (N padded to BLK)
+    mask: jax.Array,        # (B, N)
+    table: jax.Array,       # (B, H, 16) packed voxel tables
+    leaf: jax.Array,
+    eps: float = 1e-6,
+    max_corr_dist: float = 1.0,
+    interpret: bool = False,
+):
+    """Batched accumulation: returns (H (B, 6, 6), b (B, 6), cost (B,),
+    inliers (B,)). Batch rides the grid (NOT vmap — see kernel note).
+
+    Large batches are processed in chunks so the per-call (B, 32, N)
+    integrand output stays well under the 16 MB VMEM budget."""
+    B, N, _ = tp.shape
+    B_CHUNK = max(1, (4 << 20) // (32 * N * 4))  # ~4 MB of output per call
+    if B > B_CHUNK:
+        n_chunks = -(-B // B_CHUNK)
+        pad_b = n_chunks * B_CHUNK - B
+        tp_p = jnp.pad(tp, ((0, pad_b), (0, 0), (0, 0)))
+        mask_p = jnp.pad(mask, ((0, pad_b), (0, 0)))
+        table_p = jnp.pad(table, ((0, pad_b), (0, 0), (0, 0)))
+        def f(args):
+            return gn_accumulate_batch(
+                *args, leaf, eps, max_corr_dist, interpret
+            )
+        H, b, cost, n = jax.lax.map(
+            f,
+            (
+                tp_p.reshape(n_chunks, B_CHUNK, N, 3),
+                mask_p.reshape(n_chunks, B_CHUNK, N),
+                table_p.reshape(n_chunks, B_CHUNK, *table.shape[1:]),
+            ),
+        )
+        return (
+            H.reshape(-1, 6, 6)[:B],
+            b.reshape(-1, 6)[:B],
+            cost.reshape(-1)[:B],
+            n.reshape(-1)[:B],
+        )
+    assert N % BLK == 0, "pad points to a BLK multiple"
+    n_blocks = N // BLK
+    scalars = jnp.stack(
+        [jnp.float32(leaf), jnp.float32(eps), jnp.float32(max_corr_dist) ** 2]
+        + [jnp.float32(0)] * 5
+    ).reshape(1, 8)
+    acc_tiles = pl.pallas_call(
+        _accum_kernel,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BLK, 3), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, table.shape[1], 16), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # ^ one robot's table resident per batch step
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 32, BLK), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 32, N), jnp.float32),
+        interpret=interpret,
+    )(scalars, tp, mask.astype(jnp.float32)[..., None], table)
+
+    acc = jnp.sum(acc_tiles, axis=-1)  # (B, 32): XLA-side point reduction
+    H = jnp.zeros((B, 6, 6))
+    for idx, (r, c) in enumerate(_TRI):
+        H = H.at[:, r, c].set(acc[:, idx])
+        if r != c:
+            H = H.at[:, c, r].set(acc[:, idx])
+    b = acc[:, 21:27]
+    return H, b, acc[:, 27], acc[:, 28]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
 def gn_accumulate(
     tp: jax.Array,          # (N, 3) transformed source points (padded to BLK)
     mask: jax.Array,        # (N,) f32/bool
@@ -220,38 +295,49 @@ def gn_accumulate(
     max_corr_dist: float = 1.0,
     interpret: bool = False,
 ):
-    """Returns (H (6, 6), b (6,), cost (), inliers ())."""
-    N = tp.shape[0]
-    assert N % BLK == 0, "pad points to a BLK multiple"
-    n_blocks = N // BLK
-    scalars = jnp.stack(
-        [jnp.float32(leaf), jnp.float32(eps), jnp.float32(max_corr_dist) ** 2]
-        + [jnp.float32(0)] * 5
-    ).reshape(1, 8)
-    acc_tile = pl.pallas_call(
-        _accum_kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((BLK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole table resident
-        ],
-        out_specs=pl.BlockSpec(
-            (8, OUT_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((8, OUT_LANES), jnp.float32),
-        interpret=interpret,
-    )(scalars, tp, mask.astype(jnp.float32).reshape(-1, 1), table)
+    """Single-pair accumulation: (H (6, 6), b (6,), cost (), inliers ())."""
+    H, b, cost, n = gn_accumulate_batch(
+        tp[None], mask[None], table[None], leaf, eps, max_corr_dist, interpret
+    )
+    return H[0], b[0], cost[0], n[0]
 
-    acc = acc_tile[0]
-    H = jnp.zeros((6, 6))
-    for idx, (r, c) in enumerate(_TRI):
-        H = H.at[r, c].set(acc[idx])
-        if r != c:
-            H = H.at[c, r].set(acc[idx])
-    b = acc[21:27]
-    return H, b, acc[27], acc[28]
+
+@partial(jax.jit, static_argnames=("iters", "interpret"))
+def vgicp_batch(
+    sources: PointCloud,          # batched (B, N, ...) pytree
+    targets: voxel_grid.VoxelGrid,  # batched (B, H, 16) tables
+    inits: Pose,                  # (B,)
+    iters: int = 20,
+    max_corr_dist: float = 1.0,
+    damping: float = 1e-6,
+    interpret: bool = False,
+):
+    """Batched registration — the loop-verification workload — with the
+    batch riding the kernel grid (not vmap). Returns (poses (B,),
+    cost (B,), inliers (B,))."""
+    B, N = sources.xyz.shape[:2]
+    pad = (-N) % BLK
+    xyz = jnp.pad(sources.xyz, ((0, 0), (0, pad), (0, 0)))
+    msk = jnp.pad(sources.mask, ((0, 0), (0, pad)))
+    leaf = targets.leaf.reshape(-1)[0]
+
+    def step(carry, _):
+        pose, _prev = carry
+        tp = jnp.einsum("bij,bnj->bni", pose.R, xyz) + pose.t[:, None, :]
+        H, b, cost, n_in = gn_accumulate_batch(
+            tp, msk, targets.packed, leaf,
+            max_corr_dist=max_corr_dist, interpret=interpret,
+        )
+        diag = jnp.einsum("bii->b", H) / 6.0
+        lam = (damping * diag + 1e-6)[:, None, None]
+        dx = jnp.linalg.solve(H + lam * jnp.eye(6), b[..., None])[..., 0]
+        new_pose = se3.compose(se3.exp(dx), pose)  # batched left retract
+        return (new_pose, jnp.float32(0.0)), (cost, n_in)
+
+    (pose, _), (costs, inliers) = jax.lax.scan(
+        step, (inits, jnp.float32(jnp.inf)), None, length=iters
+    )
+    return se3.normalize(pose), costs[-1], inliers[-1]
 
 
 @partial(jax.jit, static_argnames=("iters", "interpret"))

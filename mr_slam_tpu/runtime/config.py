@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class OdometryCfg:
+    frontend: str = "scan2map"      # scan2map (A-LOAM-style) | lio (FAST-LIO-style)
     scan_leaf: float = 0.4
     map_leaf: float = 1.0
     insert_leaf: float = 0.15

@@ -55,6 +55,31 @@ class SlamResult:
         return Pose(self.opt_poses.R[ids], self.opt_poses.t[ids])
 
 
+def _run_lio(scans: pcl.PointCloud, cfg: SlamConfig, origin, imu) -> Pose:
+    """Drive the lidar-inertial front-end over a scan sequence."""
+    from ..frontend import lio
+
+    gyro, acc, dts = imu
+    o = cfg.odometry
+    lcfg = lio.LioConfig(
+        map_leaf=o.map_leaf, insert_leaf=o.insert_leaf, scan_leaf=o.scan_leaf,
+        scan_capacity=o.scan_capacity, insert_capacity=o.insert_capacity,
+        table_size=o.table_size, map_radius=o.map_radius,
+    )
+    state = lio.init(lcfg, origin)
+    T = scans.xyz.shape[0]
+    frame_dt = float(jnp.sum(dts[0])) if dts.shape[0] else 0.1
+    Rs, ts = [state.R], [state.p]
+    for i in range(T - 1):
+        scan = pcl.PointCloud(scans.xyz[i + 1], scans.mask[i + 1])
+        pt_time = jnp.full((scan.xyz.shape[0],), frame_dt * 0.999)
+        packet = lio.ImuSample(gyro=gyro[i], acc=acc[i], dt=dts[i])
+        state, _ = lio.step(state, scan, pt_time, packet, lcfg)
+        Rs.append(state.R)
+        ts.append(state.p)
+    return Pose(jnp.stack(Rs), jnp.stack(ts))
+
+
 def _odometry_config(cfg: SlamConfig) -> odometry.OdometryConfig:
     o = cfg.odometry
     return odometry.OdometryConfig(
@@ -66,11 +91,22 @@ def _odometry_config(cfg: SlamConfig) -> odometry.OdometryConfig:
 
 
 def run_frontend(
-    scans: pcl.PointCloud, cfg: SlamConfig, origin: Pose | None = None
+    scans: pcl.PointCloud,
+    cfg: SlamConfig,
+    origin: Pose | None = None,
+    imu: tuple | None = None,
 ) -> RobotResult:
     """Odometry + keyframe extraction for one robot's scan sequence
-    (scans: stacked (T, P, 3)/(T, P) pytree, body frame)."""
-    _, poses, _ = odometry.run(scans, _odometry_config(cfg), origin)
+    (scans: stacked (T, P, 3)/(T, P) pytree, body frame).
+
+    `imu`: optional (gyro (T-1, S, 3), acc (T-1, S, 3), dt (T-1, S))
+    packets; with `cfg.odometry.frontend == 'lio'` the FAST-LIO-style
+    inertial front-end runs instead of pure scan matching (the
+    reference's pluggable-front-end switch)."""
+    if cfg.odometry.frontend == "lio" and imu is not None:
+        poses = _run_lio(scans, cfg, origin, imu)
+    else:
+        _, poses, _ = odometry.run(scans, _odometry_config(cfg), origin)
     store = kf.init(cfg.keyframes.capacity, cfg.keyframes.points_per_kf)
     T = scans.xyz.shape[0]
     kf_frames = []
@@ -234,6 +270,7 @@ def run(
     scans_per_robot: list[pcl.PointCloud],
     cfg: SlamConfig,
     origins: list[Pose] | None = None,
+    imus: list[tuple] | None = None,
 ) -> SlamResult:
     """Full multi-robot SLAM: per-robot front-ends, cross/self loop
     search, verification, PCM, chordal PGO."""
@@ -241,7 +278,8 @@ def run(
     robots = []
     for r in range(R):
         origin = origins[r] if origins else None
-        robots.append(run_frontend(scans_per_robot[r], cfg, origin))
+        imu = imus[r] if imus else None
+        robots.append(run_frontend(scans_per_robot[r], cfg, origin, imu))
 
     descs = [compute_descriptors(rr.store, cfg) for rr in robots]
 

@@ -1,0 +1,43 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mr_slam_tpu.datasets import synthetic
+from mr_slam_tpu.eval import recall_harness
+from mr_slam_tpu.geometry import se3
+from mr_slam_tpu.ops import pointcloud as pcl
+
+
+@pytest.fixture(scope="module")
+def keyframe_db():
+    """Two laps of the same ring road: second-lap keyframes should
+    recall first-lap ones."""
+    world = synthetic.default_world(9)
+    n = 36
+    traj = synthetic.circle_trajectory(n, radius=20.0, laps=2.0)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    clouds = []
+    for i in range(n):
+        xyz, _, hit = synthetic.scan(
+            world, se3.index(traj, i), n_rings=16, n_azimuth=384, key=keys[i]
+        )
+        clouds.append(synthetic.scan_to_cloud(xyz, hit))
+    batch = jax.tree.map(lambda *x: jnp.stack(x), *clouds)
+    return batch, traj.t
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["scancontext", "ring", "disco", "fasthist"])
+def test_recall_on_revisits(keyframe_db, method):
+    clouds, positions = keyframe_db
+    res = recall_harness.evaluate_method(
+        method, clouds, positions, radius=6.0, min_separation=8, max_n=5
+    )
+    r1 = float(res.recall_at_n[0])
+    r5 = float(res.recall_at_n[4])
+    # every method must beat chance comfortably on exact revisits;
+    # the strong methods should be near-perfect
+    floor = {"scancontext": 0.8, "ring": 0.8, "disco": 0.6, "fasthist": 0.3}
+    assert r1 >= floor[method], f"{method}: recall@1={r1:.2f}"
+    assert r5 >= r1
