@@ -211,6 +211,109 @@ def point_to_plane_icp(
     )
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def loam_icp(
+    corners: PointCloud,
+    surfs: PointCloud,
+    target: voxel_grid.VoxelGrid,
+    init: Pose,
+    iters: int = 10,
+    max_corr_dist: float = 1.0,
+    damping: float = 1e-6,
+    tol: float = 1e-4,
+) -> RegistrationResult:
+    """A-LOAM-style feature registration: corner points match LINE
+    structures (cell covariance with one dominant eigenvalue; residual =
+    perpendicular offset from the line — `laserOdometry.cpp`
+    LidarEdgeFactor), surf points match PLANES (point-to-plane —
+    LidarPlaneFactor). Both residual families accumulate into one 6x6
+    GN system per iteration."""
+
+    def step(carry, _):
+        pose, _prev = carry
+        # ---- surf -> plane (reuse pooled-plane machinery via cells) --
+        tp_s = se3.apply(pose, surfs.xyz)
+        found, cnt, mu, Cv = voxel_grid.lookup(target, tp_s, "direct7")
+        wk = jnp.where(found, cnt, 0.0)
+        wsum = jnp.sum(wk, axis=-1)
+        mu_p = jnp.einsum("nk,nki->ni", wk, mu) / jnp.maximum(wsum[:, None], 1.0)
+        M2 = Cv + jnp.einsum("nki,nkj->nkij", mu, mu)
+        M2_p = jnp.einsum("nk,nkij->nij", wk, M2) / jnp.maximum(
+            wsum[:, None, None], 1.0
+        )
+        Cp = M2_p - jnp.einsum("ni,nj->nij", mu_p, mu_p)
+        evals, V = linalg3.eigh3(Cp + 1e-9 * jnp.eye(3))
+        n = V[..., :, 0]
+        planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
+        d2s = jnp.sum((mu_p - tp_s) ** 2, axis=-1)
+        w_s = (
+            surfs.mask & planar & (wsum >= 5) & (d2s < max_corr_dist**2)
+        ).astype(jnp.float32)
+        r_s = jnp.sum(n * (tp_s - mu_p), axis=-1)
+        J_s = jnp.concatenate([n, jnp.cross(tp_s, n)], axis=-1)  # (Ns, 6)
+        H = jnp.einsum("ni,nj,n->ij", J_s, J_s, w_s)
+        g = -jnp.einsum("ni,n,n->i", J_s, r_s, w_s)
+
+        # ---- corner -> line ------------------------------------------
+        tp_c = se3.apply(pose, corners.xyz)
+        found_c, cnt_c, mu_c, Cv_c = voxel_grid.lookup(target, tp_c, "direct7")
+        wk_c = jnp.where(found_c, cnt_c, 0.0)
+        wsum_c = jnp.sum(wk_c, axis=-1)
+        mu_cp = jnp.einsum("nk,nki->ni", wk_c, mu_c) / jnp.maximum(
+            wsum_c[:, None], 1.0
+        )
+        M2c = Cv_c + jnp.einsum("nki,nkj->nkij", mu_c, mu_c)
+        M2cp = jnp.einsum("nk,nkij->nij", wk_c, M2c) / jnp.maximum(
+            wsum_c[:, None, None], 1.0
+        )
+        Ccp = M2cp - jnp.einsum("ni,nj->nij", mu_cp, mu_cp)
+        evc, Vc = linalg3.eigh3(Ccp + 1e-9 * jnp.eye(3))
+        d = Vc[..., :, 2]  # line direction = largest-eigenvalue axis
+        # linearity: dominant eigenvalue well above the middle one
+        linear = evc[..., 2] > 3.0 * jnp.maximum(evc[..., 1], 1e-9)
+        d2c = jnp.sum((mu_cp - tp_c) ** 2, axis=-1)
+        w_c = (
+            corners.mask & linear & (wsum_c >= 4) & (d2c < max_corr_dist**2)
+        ).astype(jnp.float32)
+        # residual: perpendicular offset r_perp = P (tp - mu), P = I - dd^T
+        diff = tp_c - mu_cp
+        r_c = diff - d * jnp.sum(d * diff, axis=-1, keepdims=True)  # (Nc, 3)
+        # J = P [I | -hat(tp)] (3x6)
+        hat_tp = so3_hat(tp_c)
+        P = jnp.broadcast_to(jnp.eye(3), Ccp.shape) - jnp.einsum(
+            "ni,nj->nij", d, d
+        )
+        J_c = jnp.concatenate([P, -jnp.einsum("nij,njk->nik", P, hat_tp)], axis=-1)
+        H = H + jnp.einsum("nri,nrj,n->ij", J_c, J_c, w_c)
+        g = g - jnp.einsum("nri,nr,n->i", J_c, r_c, w_c)
+
+        dx = _gn_update(H + 1e-6 * jnp.eye(6), g, damping)
+        new_pose = se3.compose(se3.exp(dx), pose)
+        cost = (
+            jnp.sum(r_s * r_s * w_s) + jnp.sum(jnp.sum(r_c * r_c, -1) * w_c)
+        ) / jnp.maximum(jnp.sum(w_s) + jnp.sum(w_c), 1.0)
+        return (new_pose, jnp.linalg.norm(dx)), (cost, jnp.sum(w_s) + jnp.sum(w_c))
+
+    (pose, last_dx), (costs, inliers) = jax.lax.scan(
+        step, (init, jnp.float32(jnp.inf)), None, length=iters
+    )
+    fit = fitness(surfs, target, pose, max_range=1.0)
+    return RegistrationResult(
+        pose=se3.normalize(pose),
+        num_inliers=inliers[-1],
+        error=costs[-1],
+        fitness=fit,
+        converged=last_dx < tol,
+    )
+
+
+def so3_hat(v: jax.Array) -> jax.Array:
+    """(N, 3) -> (N, 3, 3) skew matrices."""
+    from ..geometry import so3
+
+    return so3.hat(v)
+
+
 @jax.jit
 def fitness(
     source: PointCloud, target: voxel_grid.VoxelGrid, pose: Pose, max_range: float = 1.0
