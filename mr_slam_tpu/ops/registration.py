@@ -56,6 +56,127 @@ def _gn_update(H: jax.Array, b: jax.Array, damping: float) -> jax.Array:
     return jnp.linalg.solve(Hd, b)
 
 
+# (row, col) order of the 21 upper-triangle entries emitted by
+# `_gn_terms_direct1` — shared with the Pallas kernel's layout.
+_TRI = [
+    (0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+    (1, 1), (1, 2), (1, 3), (1, 4), (1, 5),
+    (2, 2), (2, 3), (2, 4), (2, 5),
+    (3, 3), (3, 4), (3, 5),
+    (4, 4), (4, 5),
+    (5, 5),
+]
+
+
+def _gn_terms_direct1(
+    tp: jax.Array,        # (N, 3) transformed source points
+    mask: jax.Array,      # (N,) bool
+    grid: voxel_grid.VoxelGrid,
+    max_corr2: jax.Array,
+    eps: float = 1e-6,
+):
+    """One fused VGICP GN accumulation in component form.
+
+    Associates (voxel row gather) and accumulates in one pass. Formulas
+    mirror fast_gicp's per-point update: W = (Cv + eps I)^-1 via the
+    adjugate, J = [-I | hat(tp)], H += J^T W J, b += -J^T W r. The
+    component form avoids (N,3,3)/(N,3,6)/(N,6,6) HBM intermediates —
+    all per-point work is flat (N,) arithmetic XLA fuses into a couple
+    of kernels.
+
+    Returns (H (6,6), b (6,), cost (), inliers ()).
+    """
+    rows, found = voxel_grid.lookup_rows(grid, tp, "direct1")
+    return _gn_terms_from_rows(tp, mask, rows[:, 0, :], found[:, 0], max_corr2, eps)
+
+
+def _gn_terms_from_rows(
+    tp: jax.Array,        # (N, 3) transformed source points
+    mask: jax.Array,      # (N,) bool
+    rows: jax.Array,      # (N, 16) cached packed voxel rows
+    found: jax.Array,     # (N,) bool
+    max_corr2: jax.Array,
+    eps: float = 1e-6,
+):
+    """GN accumulation against CACHED correspondences (no gather).
+
+    The per-iteration voxel-row gather is the measured bottleneck of the
+    registration loop on TPU (random HBM access, ~2.7 ms per iteration
+    on the 32x4096 loop-verification batch vs <0.2 ms for the whole
+    fused GN math). Caching rows across inner iterations is the classic
+    ICP split: associate in the outer loop, optimize the fixed-
+    correspondence quadratic in the inner loop."""
+    x, y, z = tp[:, 0], tp[:, 1], tp[:, 2]
+    mu0, mu1, mu2 = rows[:, 4], rows[:, 5], rows[:, 6]
+    cxx = rows[:, 7] + eps
+    cyy = rows[:, 8] + eps
+    czz = rows[:, 9] + eps
+    cxy, cxz, cyz = rows[:, 10], rows[:, 11], rows[:, 12]
+
+    r0, r1, r2 = mu0 - x, mu1 - y, mu2 - z
+    d2 = r0 * r0 + r1 * r1 + r2 * r2
+    w = jnp.where(found & mask & (d2 < max_corr2), 1.0, 0.0)
+
+    # closed-form symmetric 3x3 inverse (adjugate), weight absorbed
+    a00 = cyy * czz - cyz * cyz
+    a01 = cxz * cyz - cxy * czz
+    a02 = cxy * cyz - cxz * cyy
+    a11 = cxx * czz - cxz * cxz
+    a12 = cxy * cxz - cxx * cyz
+    a22 = cxx * cyy - cxy * cxy
+    det = cxx * a00 + cxy * a01 + cxz * a02
+    inv_det = w / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    w00, w01, w02 = a00 * inv_det, a01 * inv_det, a02 * inv_det
+    w11, w12, w22 = a11 * inv_det, a12 * inv_det, a22 * inv_det
+
+    # u = W r
+    u0 = w00 * r0 + w01 * r1 + w02 * r2
+    u1 = w01 * r0 + w11 * r1 + w12 * r2
+    u2 = w02 * r0 + w12 * r1 + w22 * r2
+
+    # D = W hat(tp) columns; E = hat(tp)^T W hat(tp)
+    D00 = z * w01 - y * w02
+    D10 = z * w11 - y * w12
+    D20 = z * w12 - y * w22
+    D01 = -z * w00 + x * w02
+    D11 = -z * w01 + x * w12
+    D21 = -z * w02 + x * w22
+    D02 = y * w00 - x * w01
+    D12 = y * w01 - x * w11
+    D22 = y * w02 - x * w12
+    E00 = z * D10 - y * D20
+    E01 = z * D11 - y * D21
+    E02 = z * D12 - y * D22
+    E11 = -z * D01 + x * D21
+    E12 = -z * D02 + x * D22
+    E22 = y * D02 - x * D12
+
+    terms = jnp.stack(
+        [
+            # H upper triangle (21), order matches _TRI
+            w00, w01, w02, -D00, -D01, -D02,
+            w11, w12, -D10, -D11, -D12,
+            w22, -D20, -D21, -D22,
+            E00, E01, E02,
+            E11, E12,
+            E22,
+            # b (6)
+            u0, u1, u2,
+            y * u2 - z * u1, z * u0 - x * u2, x * u1 - y * u0,
+            # cost, inlier count
+            r0 * u0 + r1 * u1 + r2 * u2, w,
+        ],
+        axis=0,
+    )  # (29, N)
+    acc = jnp.sum(terms, axis=-1)  # (29,)
+    H = jnp.zeros((6, 6))
+    for idx, (r, c) in enumerate(_TRI):
+        H = H.at[r, c].set(acc[idx])
+        if r != c:
+            H = H.at[c, r].set(acc[idx])
+    return H, acc[21:27], acc[27], acc[28]
+
+
 @partial(jax.jit, static_argnames=("iters", "neighbors"))
 def vgicp(
     source: PointCloud,
@@ -77,7 +198,16 @@ def vgicp(
         dr/drho = -I,  dr/dphi = hat(R p + t)
     (fast_gicp's FastVGICPCuda computes the same quantities per point
     with CUDA atomics; here the H/b accumulation is one einsum.)
+
+    The common configuration (no source covariances, direct1 neighbours
+    — the loop-verification setup) takes a fused component-wise path;
+    the general matrix path covers the rest.
     """
+    if source_covs is None and neighbors == "direct1":
+        return _vgicp_direct1(
+            source, target, init, iters=iters,
+            max_corr_dist=max_corr_dist, damping=damping, tol=tol,
+        )
     if source_covs is None:
         source_covs = jnp.zeros((source.xyz.shape[0], 3, 3), jnp.float32)
 
@@ -122,6 +252,65 @@ def vgicp(
 
     (pose, last_dx), (costs, inliers) = jax.lax.scan(
         step, (init, jnp.float32(jnp.inf)), None, length=iters
+    )
+    fit = fitness(source, target, pose, max_range=1.0)
+    return RegistrationResult(
+        pose=se3.normalize(pose),
+        num_inliers=inliers[-1],
+        error=costs[-1],
+        fitness=fit,
+        converged=last_dx < tol,
+    )
+
+
+@partial(jax.jit, static_argnames=("iters", "inner"))
+def _vgicp_direct1(
+    source: PointCloud,
+    target: voxel_grid.VoxelGrid,
+    init: Pose,
+    iters: int = 20,
+    max_corr_dist: float = 1.0,
+    damping: float = 1e-6,
+    tol: float = 1e-4,
+    inner: int = 5,
+) -> RegistrationResult:
+    """Fused direct1 VGICP with correspondence caching.
+
+    `iters` total GN steps run as ceil(iters/inner) outer re-association
+    rounds (voxel row gather — the expensive random-HBM op) x `inner`
+    gather-free GN steps on the cached rows (the classic ICP associate/
+    optimize split; fast_gicp re-associates every step, but with a
+    quadratic fixed-correspondence cost the extra associations change
+    the fixed point only through points that cross voxel boundaries
+    mid-round — the next outer round picks those up)."""
+    max_corr2 = jnp.float32(max_corr_dist) ** 2
+    outer = -(-iters // inner)
+
+    def outer_step(carry, _):
+        pose, _prev = carry
+        tp0 = se3.apply(pose, source.xyz)
+        rows, found = voxel_grid.lookup_rows(target, tp0, "direct1")
+        rows, found = rows[:, 0, :], found[:, 0]
+
+        def inner_step(icarry, _):
+            ipose, _iprev = icarry
+            tp = se3.apply(ipose, source.xyz)
+            H, b, cost, n_in = _gn_terms_from_rows(
+                tp, source.mask, rows, found, max_corr2
+            )
+            dx = _gn_update(H + 1e-6 * jnp.eye(6), b, damping)
+            new_pose = se3.compose(se3.exp(dx), ipose)
+            return (new_pose, jnp.linalg.norm(dx)), (
+                cost / jnp.maximum(n_in, 1.0), n_in
+            )
+
+        (pose, last_dx), (costs, inliers) = jax.lax.scan(
+            inner_step, (pose, _prev), None, length=inner
+        )
+        return (pose, last_dx), (costs[-1], inliers[-1])
+
+    (pose, last_dx), (costs, inliers) = jax.lax.scan(
+        outer_step, (init, jnp.float32(jnp.inf)), None, length=outer
     )
     fit = fitness(source, target, pose, max_range=1.0)
     return RegistrationResult(
