@@ -123,8 +123,13 @@ def to_range_image(pc: pcl.PointCloud, model: LidarModel, n_azimuth: int = 1024)
     """
     ring, rv = assign_rings(pc.xyz, model)
     phi = azimuth(pc.xyz)
-    col = jnp.clip((phi / (2.0 * jnp.pi) * n_azimuth).astype(jnp.int32),
-                   0, n_azimuth - 1)
+    # round-to-nearest bin centre with wraparound: truncation would make
+    # points sitting exactly on bin boundaries (every point of a real
+    # spinning sensor, whose azimuths ARE a regular grid) straddle two
+    # bins from float error and collide/hole out ~half the image
+    col = jnp.mod(
+        jnp.round(phi / (2.0 * jnp.pi) * n_azimuth).astype(jnp.int32), n_azimuth
+    )
     rng = jnp.linalg.norm(pc.xyz, axis=-1)
     valid = pc.mask & rv & (rng > model.blind) & (rng < model.max_range)
     flat = ring * n_azimuth + col

@@ -72,6 +72,47 @@ def sensor_variance(
 
 
 @jax.jit
+def structured_light_variance(
+    xyz_sensor: jax.Array,
+    normal_coeff: float = 0.002,
+    lateral_coeff: float = 0.004,
+) -> jax.Array:
+    """StructuredLightSensorProcessor model: depth noise grows with the
+    square of the z-depth (Kinect-style), lateral with depth."""
+    z = jnp.abs(xyz_sensor[..., 2])
+    return normal_coeff * z * z + lateral_coeff * z + 1e-4
+
+
+@jax.jit
+def stereo_variance(
+    xyz_sensor: jax.Array,
+    focal: float = 500.0,
+    baseline: float = 0.1,
+    disparity_sigma: float = 0.5,
+) -> jax.Array:
+    """StereoSensorProcessor model: sigma_z = z^2 * sigma_d / (f * b) —
+    depth error from disparity quantisation."""
+    z = jnp.abs(xyz_sensor[..., 2])
+    s = z * z * disparity_sigma / (focal * baseline)
+    return s * s + 1e-6
+
+
+def perfect_variance(xyz_sensor: jax.Array) -> jax.Array:
+    """PerfectSensorProcessor: ground-truth input, near-zero variance."""
+    return jnp.full(xyz_sensor.shape[:-1], 1e-6, jnp.float32)
+
+
+# name -> model, mirroring the sensor_processors/ plugin registry
+# (`SensorProcessorBase.cpp`; one .cpp per model, SURVEY.md §2.7)
+SENSOR_MODELS = {
+    "laser": sensor_variance,
+    "structured_light": structured_light_variance,
+    "stereo": stereo_variance,
+    "perfect": perfect_variance,
+}
+
+
+@jax.jit
 def process_points(
     m: ElevationMap, pc: PointCloud, variances: jax.Array
 ):
@@ -159,6 +200,74 @@ def shift(m: ElevationMap, new_center: jax.Array) -> ElevationMap:
         origin=new_origin,
         resolution=m.resolution,
     )
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def raytrace_clear(
+    m: ElevationMap,
+    sensor_origin: jax.Array,
+    pc: PointCloud,
+    n_samples: int = 32,
+    margin: float = 0.2,
+    variance_inflation: float = 10.0,
+) -> ElevationMap:
+    """Visibility clearing — `G_Raytracing` (`gpu_process.cu:706`):
+    cells crossed by a beam BELOW the beam's height must not contain a
+    surface above it; stale surfaces there (dynamic obstacles that
+    moved away) get their variance inflated so the next fuse overwrites
+    them, and cells far above the beam are invalidated outright.
+
+    The CUDA kernel walks each ray with a DDA; here each of the N beams
+    is sampled at `n_samples` fixed fractions (excluding the endpoint
+    neighbourhood) and the violations are reduced per cell with one
+    scatter-max over beam height.
+    """
+    H, W = m.shape
+    fracs = jnp.linspace(0.05, 0.92, n_samples)
+    # (N, S, 3) sample points along each ray
+    pts = sensor_origin[None, None, :] + fracs[None, :, None] * (
+        pc.xyz[:, None, :] - sensor_origin[None, None, :]
+    )
+    ij = jnp.floor((pts[..., :2] - m.origin) / m.resolution).astype(jnp.int32)
+    inb = (
+        pc.mask[:, None]
+        & (ij[..., 0] >= 0) & (ij[..., 0] < H)
+        & (ij[..., 1] >= 0) & (ij[..., 1] < W)
+    )
+    flat = jnp.where(inb, ij[..., 0] * W + ij[..., 1], H * W).reshape(-1)
+    beam_z = jnp.where(inb, pts[..., 2], -jnp.inf).reshape(-1)
+    # highest beam passing through each cell
+    pass_z = jnp.full((H * W + 1,), -jnp.inf).at[flat].max(beam_z)
+    pass_z = pass_z[: H * W].reshape(H, W)
+    seen = jnp.isfinite(pass_z)
+    stale = seen & m.valid & (m.height > pass_z + margin)
+    return m._replace(
+        variance=jnp.where(stale, m.variance * variance_inflation, m.variance),
+        valid=m.valid & ~(stale & (m.height > pass_z + 3.0 * margin)),
+    )
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def interpolate_dense(m: ElevationMap, iterations: int = 2) -> ElevationMap:
+    """Optional dense interpolation before the keyframe flush
+    (`updateLocalMap`, `ElevationMapping.cpp:653-821`): fill holes from
+    the 3x3 neighbourhood average of valid cells, iterated. Filled cells
+    carry the neighbourhood's mean variance (inflated)."""
+    h, v, ok = m.height, m.variance, m.valid
+
+    def body(_, carry):
+        h, v, ok = carry
+        okf = ok.astype(jnp.float32)
+        cnt = _window_sums(okf, 3)
+        hs = _window_sums(jnp.where(ok, h, 0.0), 3)
+        vs = _window_sums(jnp.where(ok, v, 0.0), 3)
+        can = (~ok) & (cnt >= 3.0)
+        h2 = jnp.where(can, hs / jnp.maximum(cnt, 1.0), h)
+        v2 = jnp.where(can, 2.0 * vs / jnp.maximum(cnt, 1.0) + 1e-3, v)
+        return h2, v2, ok | can
+
+    h, v, ok = jax.lax.fori_loop(0, iterations, body, (h, v, ok))
+    return m._replace(height=h, variance=v, valid=ok)
 
 
 class TerrainFeatures(NamedTuple):

@@ -131,3 +131,52 @@ class TestCostmap:
         cost = np.asarray(out.cost)
         assert cost[2, 4] == 100 and cost[6, 4] == 100
         assert cost[0, 0] == 0
+
+
+class TestSensorModels:
+    def test_all_models_positive_and_range_dependent(self):
+        xyz = jnp.array([[1.0, 0.0, 1.0], [10.0, 0.0, 10.0]])
+        for name, fn in elevation.SENSOR_MODELS.items():
+            v = np.asarray(fn(xyz))
+            assert (v > 0).all(), name
+            if name != "perfect":
+                assert v[1] > v[0], name  # farther -> noisier
+
+
+class TestRaytrace:
+    def test_clears_stale_obstacle(self):
+        m = elevation.init(size=60, resolution=0.2)
+        # stale obstacle: a 2 m pillar at x=3 that is no longer there
+        pillar = make_cloud(jnp.array([[3.0, 0.0, 2.0]] * 4))
+        m = elevation.fuse(m, pillar, elevation.perfect_variance(pillar.xyz))
+        assert bool(m.valid.any())
+        # beams from the origin at z=0.5 hitting ground at x=5 pass
+        # straight through the pillar cell well below 2 m
+        ground = make_cloud(jnp.array([[5.0, y, 0.0] for y in (-0.1, 0.0, 0.1)]))
+        origin = jnp.array([0.0, 0.0, 0.5])
+        m2 = elevation.raytrace_clear(m, origin, ground)
+        ij = jnp.floor((jnp.array([3.0, 0.0]) - m.origin) / m.resolution).astype(int)
+        assert not bool(m2.valid[ij[0], ij[1]])
+
+    def test_consistent_surface_untouched(self):
+        m = elevation.init(size=60, resolution=0.2)
+        pc = flat_cloud(jax.random.PRNGKey(0), z=0.0)
+        m = elevation.fuse(m, pc, elevation.sensor_variance(pc.xyz))
+        origin = jnp.array([0.0, 0.0, 1.0])
+        m2 = elevation.raytrace_clear(m, origin, pc)
+        # ground is below every beam: nothing cleared
+        assert int(m.valid.sum()) == int(m2.valid.sum())
+
+
+class TestInterpolation:
+    def test_fills_holes(self):
+        m = elevation.init(size=30, resolution=0.2)
+        pc = flat_cloud(jax.random.PRNGKey(3), n=200, z=1.0, extent=2.5)
+        m = elevation.fuse(m, pc, elevation.sensor_variance(pc.xyz))
+        before = int(m.valid.sum())
+        m2 = elevation.interpolate_dense(m, iterations=2)
+        after = int(m2.valid.sum())
+        assert after > before
+        filled = np.asarray(m2.valid & ~m.valid)
+        h = np.asarray(m2.height)[filled]
+        np.testing.assert_allclose(h, 1.0, atol=0.1)
