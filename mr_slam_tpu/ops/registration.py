@@ -496,6 +496,129 @@ def loam_icp(
     )
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def point_to_point_icp(
+    source: PointCloud,
+    target: PointCloud,
+    init: Pose,
+    iters: int = 20,
+    max_corr_dist: float = 1.0,
+    damping: float = 1e-6,
+    tol: float = 1e-4,
+) -> RegistrationResult:
+    """Classic point-to-point ICP — the reference's PCL_ICP option in
+    `select_registration_method` (`global_manager.cpp:2416-2462`).
+    Correspondences are brute-force nearest neighbours on the MXU
+    (|q-p|^2 distance matrix), residual = matched offset, closed GN on
+    se(3). Intended for the loop-verification cloud sizes (<= ~8k)."""
+    from . import pointcloud as _pcl
+
+    def step(carry, _):
+        pose, _prev = carry
+        tp = se3.apply(pose, source.xyz)
+        d2, idx = _pcl.knn(tp, target, 1)
+        q = target.xyz[idx[:, 0]]
+        ok = source.mask & (d2[:, 0] < max_corr_dist**2)
+        w = ok.astype(jnp.float32)
+        r = tp - q  # (N, 3)
+        # dr/dxi = [I | -hat(tp)]
+        J = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3), (tp.shape[0], 3, 3)), -so3_hat(tp)],
+            axis=-1,
+        )  # (N, 3, 6)
+        H = jnp.einsum("nai,naj,n->ij", J, J, w)
+        b = -jnp.einsum("nai,na,n->i", J, r, w)
+        dx = _gn_update(H + 1e-6 * jnp.eye(6), b, damping)
+        new_pose = se3.compose(se3.exp(dx), pose)
+        cost = jnp.sum(jnp.sum(r * r, -1) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return (new_pose, jnp.linalg.norm(dx)), (cost, jnp.sum(w))
+
+    (pose, last_dx), (costs, inliers) = jax.lax.scan(
+        step, (init, jnp.float32(jnp.inf)), None, length=iters
+    )
+    return RegistrationResult(
+        pose=se3.normalize(pose),
+        num_inliers=inliers[-1],
+        error=costs[-1],
+        fitness=costs[-1],
+        converged=last_dx < tol,
+    )
+
+
+def _regularized_covs(pc: PointCloud, k: int = 10):
+    """fast_gicp's covariance regularisation: per-point neighbourhood
+    covariance with eigenvalues snapped to (1, 1, 1e-3) — every local
+    surface treated as a plane of uniform confidence."""
+    from . import pointcloud as _pcl
+
+    _, cov, valid = _pcl.covariances_knn(pc, k)
+    evals, V = linalg3.eigh3(cov + 1e-9 * jnp.eye(3))
+    snapped = jnp.broadcast_to(jnp.array([1e-3, 1.0, 1.0]), evals.shape)
+    C = jnp.einsum("nij,nj,nkj->nik", V, snapped, V)
+    return C, valid
+
+
+@partial(jax.jit, static_argnames=("iters", "corr_k"))
+def gicp(
+    source: PointCloud,
+    target: PointCloud,
+    init: Pose,
+    iters: int = 20,
+    max_corr_dist: float = 1.0,
+    damping: float = 1e-6,
+    tol: float = 1e-4,
+    corr_k: int = 10,
+) -> RegistrationResult:
+    """Generalized-ICP (plane-to-plane) — the PCL_GICP / FAST_GICP
+    options of `select_registration_method` (`global_manager.cpp:
+    2435-2446`, 8 OpenMP threads + correspondence randomness 15 there;
+    here one fused batched GN). Cost per correspondence:
+    d^T (C_b + R C_a R^T)^{-1} d with fast_gicp-regularised
+    neighbourhood covariances on both clouds."""
+    from . import pointcloud as _pcl
+
+    Ca, va = _regularized_covs(source, corr_k)
+    Cb, vb = _regularized_covs(target, corr_k)
+
+    def step(carry, _):
+        pose, _prev = carry
+        tp = se3.apply(pose, source.xyz)
+        d2, idx = _pcl.knn(tp, target, 1)
+        j = idx[:, 0]
+        q = target.xyz[j]
+        ok = source.mask & va & vb[j] & (d2[:, 0] < max_corr_dist**2)
+        w = ok.astype(jnp.float32)
+        RCaRt = jnp.einsum("ab,nbc,dc->nad", pose.R, Ca, pose.R)
+        M = jnp.linalg.inv(
+            Cb[j] + RCaRt + 1e-6 * jnp.eye(3)
+        )  # (N, 3, 3) mahalanobis weights
+        r = tp - q
+        J = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3), (tp.shape[0], 3, 3)), -so3_hat(tp)],
+            axis=-1,
+        )  # (N, 3, 6)
+        MJ = jnp.einsum("nab,nbi->nai", M, J)
+        H = jnp.einsum("nai,naj,n->ij", J, MJ, w)
+        b = -jnp.einsum("nai,na,n->i", MJ, r, w)
+        dx = _gn_update(H + 1e-6 * jnp.eye(6), b, damping)
+        new_pose = se3.compose(se3.exp(dx), pose)
+        cost = jnp.einsum("na,nab,nb,n->", r, M, r, w) / jnp.maximum(
+            jnp.sum(w), 1.0
+        )
+        return (new_pose, jnp.linalg.norm(dx)), (cost, jnp.sum(w))
+
+    (pose, last_dx), (costs, inliers) = jax.lax.scan(
+        step, (init, jnp.float32(jnp.inf)), None, length=iters
+    )
+    return RegistrationResult(
+        pose=se3.normalize(pose),
+        num_inliers=inliers[-1],
+        error=costs[-1],
+        fitness=costs[-1],
+        converged=last_dx < tol,
+    )
+
+
 def so3_hat(v: jax.Array) -> jax.Array:
     """(N, 3) -> (N, 3, 3) skew matrices."""
     from ..geometry import so3
@@ -545,13 +668,31 @@ def register_pair(
     iters: int = 20,
     max_corr_dist: float = 1.0,
 ) -> RegistrationResult:
-    """Convenience wrapper: voxelize the target and run registration —
-    what `ICPCheck` does per candidate loop (`global_manager.cpp:
-    1945-2084`), minus the threads."""
-    grid = voxel_grid.build(target, leaf, table_size, min_points=3, regularize="plane")
-    if method == "vgicp":
+    """Registration selector: what `select_registration_method`
+    (`global_manager.cpp:2416-2462`) + `ICPCheck` (`:1945-2084`) do per
+    candidate loop, minus the threads. Methods:
+
+      "icp"            -> point-to-point (PCL_ICP)
+      "gicp"           -> plane-to-plane GICP (PCL_GICP / FAST_GICP)
+      "vgicp"          -> voxelized GICP (FAST_VGICP_CUDA; the
+                          production default, launch:51)
+      "point_to_plane" -> plane residual against the voxel map
+    """
+    if method == "icp":
+        result = point_to_point_icp(
+            source, target, init, iters=iters, max_corr_dist=max_corr_dist
+        )
+    elif method == "gicp":
+        result = gicp(source, target, init, iters=iters, max_corr_dist=max_corr_dist)
+    elif method == "vgicp":
+        grid = voxel_grid.build(
+            target, leaf, table_size, min_points=3, regularize="plane"
+        )
         result = vgicp(source, grid, init, iters=iters, max_corr_dist=max_corr_dist)
     else:
+        grid = voxel_grid.build(
+            target, leaf, table_size, min_points=3, regularize="plane"
+        )
         result = point_to_plane_icp(
             source, grid, init, iters=iters, max_corr_dist=max_corr_dist
         )

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mr_slam_tpu.geometry import Pose, se3, so3
 from mr_slam_tpu.ops import pointcloud as pcl
@@ -119,3 +120,39 @@ class TestRegistration:
         res = f(batch_src, batch_grid, init)
         assert res.pose.t.shape == (3, 3)
         np.testing.assert_allclose(res.pose.t, 0.0, atol=1e-2)
+
+
+class TestMethodSelector:
+    """All four selector methods (`global_manager.cpp:2416-2462`) recover
+    a known rigid transform on a structured scene."""
+
+    def _scene(self, n=4096):
+        key = jax.random.PRNGKey(42)
+        k1, k2, k3 = jax.random.split(key, 3)
+        ground = jnp.concatenate(
+            [jax.random.uniform(k1, (n // 2, 2), minval=-10, maxval=10),
+             jnp.zeros((n // 2, 1))], axis=-1)
+        wall = jnp.concatenate(
+            [jax.random.uniform(k2, (n // 4, 1), minval=-10, maxval=10),
+             jnp.full((n // 4, 1), 5.0),
+             jax.random.uniform(k2, (n // 4, 1), minval=0, maxval=3)], axis=-1)
+        wall2 = jnp.concatenate(
+            [jnp.full((n // 4, 1), -4.0),
+             jax.random.uniform(k3, (n // 4, 1), minval=-10, maxval=10),
+             jax.random.uniform(k3, (n // 4, 1), minval=0, maxval=3)], axis=-1)
+        return pcl.make(jnp.concatenate([ground, wall, wall2], axis=0))
+
+    @pytest.mark.parametrize("method", ["icp", "gicp", "vgicp", "point_to_plane"])
+    def test_recovers_transform(self, method):
+        target = self._scene()
+        true = se3.Pose(
+            so3.exp(jnp.array([0.02, -0.01, 0.05])), jnp.array([0.3, -0.2, 0.1])
+        )
+        src = pcl.transform(target, se3.inverse(true))
+        res = registration.register_pair(
+            src, target, se3.identity(), method=method, iters=25
+        )
+        np.testing.assert_allclose(np.asarray(res.pose.t), np.asarray(true.t), atol=0.05)
+        np.testing.assert_allclose(
+            np.asarray(so3.log(res.pose.R @ true.R.T)), 0.0, atol=0.02
+        )
