@@ -72,6 +72,20 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
     lib.mrslam_scanlog_close.argtypes = [ctypes.c_void_p]
+    lib.mrslam_kdtree_create.restype = ctypes.c_void_p
+    lib.mrslam_kdtree_create.argtypes = [ctypes.c_int]
+    lib.mrslam_kdtree_insert.restype = ctypes.c_int
+    lib.mrslam_kdtree_insert.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mrslam_kdtree_size.restype = ctypes.c_int
+    lib.mrslam_kdtree_size.argtypes = [ctypes.c_void_p]
+    lib.mrslam_kdtree_knn.restype = ctypes.c_int
+    lib.mrslam_kdtree_knn.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mrslam_kdtree_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -152,3 +166,69 @@ class ScanLogReader:
         if self._h:
             self._lib.mrslam_scanlog_close(self._h)
             self._h = None
+
+
+class DescriptorKNN:
+    """Incremental KNN over descriptor vectors — the descriptor-database
+    index of the back-end (reference: the insertion-capable kd-tree of
+    `global_manager/src/kdtree.cpp`, rebuilt per query at
+    `global_manager.cpp:1002`). Uses the native kd-tree when the shared
+    library is available; otherwise an exact brute-force numpy fallback
+    (equivalent results, descriptors are high-dimensional anyway)."""
+
+    def __init__(self, dim: int):
+        self.dim = int(dim)
+        self._lib = load()
+        self._h = None
+        if self._lib is not None:
+            self._h = self._lib.mrslam_kdtree_create(self.dim)
+        self._rows: list[np.ndarray] = []  # fallback store
+
+    def __len__(self) -> int:
+        if self._h:
+            return self._lib.mrslam_kdtree_size(self._h)
+        return len(self._rows)
+
+    def insert(self, vec: np.ndarray) -> int:
+        vec = np.ascontiguousarray(np.asarray(vec, np.float32).ravel())
+        if vec.shape[0] != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {vec.shape[0]}")
+        if self._h:
+            return self._lib.mrslam_kdtree_insert(
+                self._h, vec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        self._rows.append(vec)
+        return len(self._rows) - 1
+
+    def knn(self, query: np.ndarray, k: int):
+        """(indices (m,), distances (m,)) of the m<=k nearest rows."""
+        query = np.ascontiguousarray(np.asarray(query, np.float32).ravel())
+        if query.shape[0] != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {query.shape[0]}")
+        if self._h:
+            k = max(int(k), 0)
+            idx = np.zeros((max(k, 1),), np.int32)
+            dist = np.zeros((max(k, 1),), np.float32)
+            m = self._lib.mrslam_kdtree_knn(
+                self._h, query.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                k, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            return idx[:m].astype(np.int64), dist[:m]
+        if not self._rows or k <= 0:
+            return np.zeros((0,), np.int64), np.zeros((0,), np.float32)
+        db = np.stack(self._rows)
+        d = np.linalg.norm(db - query[None, :], axis=1)
+        m = min(int(k), d.shape[0])
+        idx = np.argpartition(d, m - 1)[:m]
+        idx = idx[np.argsort(d[idx])]
+        return idx.astype(np.int64), d[idx].astype(np.float32)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.mrslam_kdtree_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - best effort
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -107,3 +107,37 @@ class TestScanLog:
             if n < 128:
                 assert np.all(xyz[n:] == 1e6)
         r.close()
+
+
+class TestDescriptorKNN:
+    def test_matches_bruteforce(self):
+        rng = np.random.default_rng(3)
+        dim, n = 64, 300
+        db = rng.normal(size=(n, dim)).astype(np.float32)
+        tree = native.DescriptorKNN(dim)
+        for row in db:
+            tree.insert(row)
+        assert len(tree) == n
+        for q in rng.normal(size=(5, dim)).astype(np.float32):
+            idx, dist = tree.knn(q, 7)
+            ref = np.linalg.norm(db - q[None], axis=1)
+            ref_idx = np.argsort(ref)[:7]
+            np.testing.assert_array_equal(np.sort(idx), np.sort(ref_idx))
+            np.testing.assert_allclose(dist, ref[idx], rtol=1e-5)
+
+    def test_incremental_and_edge_cases(self):
+        tree = native.DescriptorKNN(8)
+        idx, dist = tree.knn(np.zeros(8), 3)
+        assert idx.shape == (0,)
+        for i in range(200):  # crosses the rebuild threshold
+            v = np.zeros(8, np.float32)
+            v[0] = float(i)
+            tree.insert(v)
+        q = np.zeros(8, np.float32)
+        q[0] = 100.2
+        idx, dist = tree.knn(q, 3)
+        assert set(idx.tolist()) == {100, 101, 99}
+        assert abs(dist[0] - 0.2) < 1e-5
+        # k larger than the database
+        idx, _ = tree.knn(q, 500)
+        assert idx.shape == (200,)
