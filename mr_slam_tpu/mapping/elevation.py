@@ -376,3 +376,114 @@ def to_cloud(m: ElevationMap) -> PointCloud:
     ys = jnp.broadcast_to(jj + m.origin[1], (H, W))
     xyz = jnp.stack([xs, ys, m.height], axis=-1).reshape(-1, 3)
     return PointCloud(xyz, m.valid.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# Color / ortho-image layer (GEM's synchronized camera path)
+# ---------------------------------------------------------------------------
+# The reference's ElevationMapping subscribes to a synchronized
+# (PointCloud2, Image) pair (`ElevationMapping.cpp:298`), projects points
+# into the camera to color grid cells, and ships an `orthoImage` inside
+# every `dislam_msgs/SubMap`. Robots without cameras run Tools/Fake_img
+# (black 640x480 @ 10 Hz) to satisfy the synchronizer. Here the color
+# layer is a separate additive grid so the height pipeline is untouched.
+
+
+class ColorGrid(NamedTuple):
+    """Per-cell RGB accumulated as a weighted running mean."""
+
+    rgb: jax.Array     # (H, W, 3) float32 in [0, 1]
+    weight: jax.Array  # (H, W) float32
+
+
+def init_color(size: int = 60) -> ColorGrid:
+    return ColorGrid(
+        rgb=jnp.zeros((size, size, 3), jnp.float32),
+        weight=jnp.zeros((size, size), jnp.float32),
+    )
+
+
+@jax.jit
+def colorize_from_camera(
+    xyz_world: jax.Array,   # (N, 3)
+    cam_R: jax.Array,       # (3, 3) world <- camera rotation
+    cam_t: jax.Array,       # (3,) camera position in world
+    intrinsics: jax.Array,  # (4,) fx, fy, cx, cy
+    image: jax.Array,       # (Hi, Wi, 3) float32 [0, 1]
+):
+    """Project world points into a pinhole camera and bilinearly sample
+    per-point colors. Returns (colors (N, 3), visible (N,)). Points
+    behind the camera or outside the frame are invisible — the same
+    visibility rule GEM's image fusion applies."""
+    Hi, Wi = image.shape[0], image.shape[1]
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    p_cam = (xyz_world - cam_t) @ cam_R  # world->cam: R^T (x - t)
+    z = p_cam[:, 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = fx * p_cam[:, 0] / safe_z + cx
+    v = fy * p_cam[:, 1] / safe_z + cy
+    visible = (z > 1e-3) & (u >= 0) & (u <= Wi - 1.0) & (v >= 0) & (v <= Hi - 1.0)
+    u = jnp.clip(u, 0.0, Wi - 1.001)
+    v = jnp.clip(v, 0.0, Hi - 1.001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = (u - u0)[:, None]
+    dv = (v - v0)[:, None]
+    c00 = image[v0, u0]
+    c01 = image[v0, u0 + 1]
+    c10 = image[v0 + 1, u0]
+    c11 = image[v0 + 1, u0 + 1]
+    colors = (
+        c00 * (1 - du) * (1 - dv) + c01 * du * (1 - dv)
+        + c10 * (1 - du) * dv + c11 * du * dv
+    )
+    return colors, visible
+
+
+@jax.jit
+def fuse_color(
+    m: ElevationMap, cg: ColorGrid, pc: PointCloud, colors: jax.Array,
+    visible: jax.Array,
+) -> ColorGrid:
+    """Scatter per-point colors into the grid as a weighted running mean
+    (GEM keeps a color layer alongside height in the fused map)."""
+    H, W = m.shape
+    ij = jnp.floor((pc.xyz[:, :2] - m.origin) / m.resolution).astype(jnp.int32)
+    ok = (
+        pc.mask & visible
+        & (ij[:, 0] >= 0) & (ij[:, 0] < H)
+        & (ij[:, 1] >= 0) & (ij[:, 1] < W)
+    )
+    flat = jnp.where(ok, ij[:, 0] * W + ij[:, 1], H * W)
+    w = ok.astype(jnp.float32)
+    sum_rgb = jnp.zeros((H * W + 1, 3)).at[flat].add(colors * w[:, None])
+    sum_w = jnp.zeros((H * W + 1,)).at[flat].add(w)
+    new_w = cg.weight + sum_w[: H * W].reshape(H, W)
+    num = cg.rgb * cg.weight[..., None] + sum_rgb[: H * W].reshape(H, W, 3)
+    rgb = num / jnp.maximum(new_w[..., None], 1e-9)
+    return ColorGrid(rgb=rgb, weight=new_w)
+
+
+@jax.jit
+def ortho_image(m: ElevationMap, cg: ColorGrid | None = None) -> jax.Array:
+    """(H, W, 3) float32 top-down render — the `orthoImage` field of the
+    reference's SubMap. Colored cells use the camera layer; the rest a
+    height shading; invalid cells black."""
+    H, W = m.shape
+    h = jnp.where(m.valid, m.height, 0.0)
+    lo = jnp.min(jnp.where(m.valid, h, jnp.inf))
+    hi = jnp.max(jnp.where(m.valid, h, -jnp.inf))
+    span = jnp.maximum(hi - lo, 1e-6)
+    shade = jnp.clip((h - lo) / span, 0.0, 1.0)
+    gray = jnp.repeat(shade[..., None], 3, axis=-1)
+    if cg is not None:
+        has_color = (cg.weight > 0)[..., None]
+        gray = jnp.where(has_color, cg.rgb, gray)
+    return jnp.where(m.valid[..., None], gray, 0.0)
+
+
+def fake_image(height: int = 480, width: int = 640) -> jax.Array:
+    """Tools/Fake_img parity (`Tools/Fake_img/robot_N.py`): a black
+    camera frame for robots without cameras, keeping the synchronized
+    cloud+image interface satisfied."""
+    return jnp.zeros((height, width, 3), jnp.float32)

@@ -180,3 +180,45 @@ class TestInterpolation:
         filled = np.asarray(m2.valid & ~m.valid)
         h = np.asarray(m2.height)[filled]
         np.testing.assert_allclose(h, 1.0, atol=0.1)
+
+
+class TestColorLayer:
+    """GEM camera path: colorize -> fuse_color -> ortho_image."""
+
+    def _setup(self):
+        from mr_slam_tpu.mapping import elevation as ev
+        from mr_slam_tpu.ops.pointcloud import PointCloud
+        m = ev.init(32, 0.5, (0.0, 0.0))
+        key = jax.random.PRNGKey(0)
+        xyz = jax.random.uniform(key, (500, 3), minval=-7, maxval=7)
+        pc = PointCloud(xyz, jnp.ones((500,), bool))
+        m = ev.fuse(m, pc, ev.sensor_variance(xyz))
+        return ev, m, pc, xyz
+
+    def test_colorize_visibility_and_fusion(self):
+        ev, m, pc, xyz = self._setup()
+        img = jnp.ones((48, 64, 3)) * jnp.array([0.2, 0.5, 0.8])
+        R_down = jnp.diag(jnp.array([1.0, -1.0, -1.0]))  # optical axis -z
+        cols, vis = ev.colorize_from_camera(
+            xyz, R_down, jnp.array([0.0, 0.0, 10.0]),
+            jnp.array([40.0, 40.0, 32.0, 24.0]), img)
+        assert int(vis.sum()) > 100
+        cg = ev.fuse_color(m, ev.init_color(32), pc, cols, vis)
+        o = np.asarray(ev.ortho_image(m, cg))
+        colored = np.asarray(cg.weight > 0)
+        assert colored.sum() > 0
+        expected = np.broadcast_to([0.2, 0.5, 0.8], o[colored].shape)
+        np.testing.assert_allclose(o[colored], expected, atol=1e-5)
+        # camera looking up sees nothing
+        _, vis_up = ev.colorize_from_camera(
+            xyz, jnp.eye(3), jnp.array([0.0, 0.0, 10.0]),
+            jnp.array([40.0, 40.0, 32.0, 24.0]), img)
+        assert int(vis_up.sum()) == 0
+
+    def test_ortho_without_color_and_fake_image(self):
+        ev, m, pc, _ = self._setup()
+        o = np.asarray(ev.ortho_image(m))
+        valid = np.asarray(m.valid)
+        assert (o[~valid] == 0).all()
+        assert o[valid].max() <= 1.0 and o[valid].max() > 0.0
+        assert ev.fake_image().shape == (480, 640, 3)
