@@ -24,8 +24,8 @@ contribution is folded into the right-hand side. Sweeps are unrolled
 over all its nodes/edges. The edge-sharded CG optimizer in
 `distributed.py` is the faster production path; this module exists for
 algorithmic parity with the reference's decentralized scheme and as a
-cross-check (both converge to the same fixed point on consistent
-graphs).
+cross-check (with matching `robust_delta`, both optimizers share the
+same fixed point on consistent graphs).
 """
 from __future__ import annotations
 
@@ -50,6 +50,8 @@ class GSConfig(NamedTuple):
     flagged_init: bool = True   # gate separators until both ends joined
     anchor_weight: float = 1e6
     damping: float = 1e-6
+    robust_delta: float = 1.0   # Cauchy scale for loop edges (matches
+                                # chordal.PGOConfig default); <=0 off
 
 
 def _masked_cg(A, b, mask, iters):
@@ -80,11 +82,13 @@ def _masked_cg(A, b, mask, iters):
 
 
 def _robot_edge_gate(g: FactorGraph, initialized: jax.Array) -> jax.Array:
-    """Flagged-init gate: an edge participates only when the robots of
-    both endpoints are initialized (`orderRobots` semantics)."""
+    """Flagged-init gate: a *separator* (inter-robot) edge participates
+    only when the robots of both endpoints are initialized; intra-robot
+    (odometry) edges always participate — the reference gates only
+    separator edges (`distributed_mapper.cpp:157-163`)."""
     ri = g.node_robot[g.edge_i]
     rj = g.node_robot[g.edge_j]
-    return initialized[ri] & initialized[rj]
+    return (ri == rj) | (initialized[ri] & initialized[rj])
 
 
 def _rotation_system(g: FactorGraph, gate: jax.Array, anchors: jax.Array,
@@ -132,7 +136,8 @@ def optimize(
 
     # ---- stage 1: rotation sweeps ---------------------------------------
     def rot_sweep(X, sweep):
-        gate = _robot_edge_gate(g, initialized_at(sweep))
+        init = initialized_at(sweep)
+        gate = _robot_edge_gate(g, init)
         A, b_anchor = _rotation_system(g, gate, anchors, config.anchor_weight)
 
         def block(X, r):
@@ -143,7 +148,10 @@ def optimize(
             b = b_anchor - A(X_fixed)
             x = _masked_cg(A, b, m, config.cg_iters)
             X_new = X_fixed + x
-            return X + config.gamma * (X_new - X) * mN
+            # uninitialized robots keep their current estimate (the
+            # reference skips their update entirely)
+            upd = config.gamma * init[r].astype(X.dtype)
+            return X + upd * (X_new - X) * mN
 
         if config.jacobi:
             X0 = X
@@ -170,13 +178,15 @@ def optimize(
 
     def pose_sweep(carry, sweep):
         R, t = carry
-        gate = _robot_edge_gate(g, initialized_at(sweep))
+        # the pose stage starts fully initialized: every robot joined
+        # during the rotation stage (global sweep counter, not stage-local)
+        init = initialized_at(sweep + config.rot_sweeps)
+        gate = _robot_edge_gate(g, init)
         r_res, J = chordal._residuals_and_jac(R, t, g)
-        w_rot, w_trans = chordal._edge_weights(g)
-        gatef = gate.astype(jnp.float32)
-        row_w = jnp.concatenate(
-            [jnp.repeat((w_rot * gatef)[:, None], 9, axis=1),
-             jnp.repeat((w_trans * gatef)[:, None], 3, axis=1)], axis=1)
+        # same Cauchy IRLS loop weighting as chordal.optimize, so both
+        # optimizers share a fixed point for matching robust_delta
+        row_w = chordal._edge_block_weight(g, r_res, config.robust_delta)
+        row_w = row_w * gate.astype(jnp.float32)[:, None]
         ei, ej = g.edge_i, g.edge_j
 
         def Hx(x):
@@ -216,7 +226,8 @@ def optimize(
             rhs = b - Hx(x_fixed)
             sol = _masked_cg(Hx, rhs, m, config.cg_iters)
             x_new = x_fixed + sol
-            return x + config.gamma * (x_new - x) * mN
+            upd = config.gamma * init[r].astype(x.dtype)
+            return x + upd * (x_new - x) * mN
 
         x = jnp.zeros((N, 6))
         if config.jacobi:

@@ -76,6 +76,8 @@ class TransformBuffer:
         # (parent, child) -> (stamps list, quats list, ts list)
         self._edges: Dict[Tuple[str, str], Tuple[List[float], list, list]] = {}
         self._adj: Dict[str, List[str]] = {}
+        # resolved frame paths, invalidated on topology change only
+        self._paths: Dict[Tuple[str, str], List[str]] = {}
 
     def set_transform(self, parent: str, child: str, stamp: float,
                       R: np.ndarray, t: np.ndarray) -> None:
@@ -87,15 +89,25 @@ class TransformBuffer:
             self._edges[key] = ([], [], [])
             self._adj.setdefault(parent, []).append(child)
             self._adj.setdefault(child, []).append(parent)
+            self._paths.clear()  # topology changed
         stamps, quats, ts = self._edges[key]
         q = _quat_from_R(np.asarray(R, np.float64))
         tv = np.asarray(t, np.float64).copy()
-        i = bisect_left(stamps, stamp)
-        stamps.insert(i, float(stamp))
-        quats.insert(i, q)
-        ts.insert(i, tv)
-        if len(stamps) > self.cache_size:
-            del stamps[0], quats[0], ts[0]
+        stamp = float(stamp)
+        if not stamps or stamp >= stamps[-1]:
+            # fast path: stamps are usually monotonic (10 Hz publishers)
+            stamps.append(stamp)
+            quats.append(q)
+            ts.append(tv)
+        else:
+            i = bisect_left(stamps, stamp)
+            stamps.insert(i, stamp)
+            quats.insert(i, q)
+            ts.insert(i, tv)
+        if len(stamps) > self.cache_size + (self.cache_size >> 2):
+            # amortized O(1)/insert trim to cache_size
+            cut = len(stamps) - self.cache_size
+            del stamps[:cut], quats[:cut], ts[:cut]
 
     def frames(self) -> List[str]:
         return sorted(self._adj)
@@ -117,6 +129,9 @@ class TransformBuffer:
         return _R_from_quat(q), t
 
     def _path(self, src: str, dst: str) -> List[str]:
+        cached = self._paths.get((src, dst))
+        if cached is not None:
+            return cached
         if src not in self._adj or dst not in self._adj:
             raise LookupError(f"unknown frame in {src}->{dst}")
         prev = {src: src}
@@ -134,7 +149,9 @@ class TransformBuffer:
         path = [dst]
         while path[-1] != src:
             path.append(prev[path[-1]])
-        return path[::-1]
+        path = path[::-1]
+        self._paths[(src, dst)] = path
+        return path
 
     def lookup(self, target: str, source: str, stamp: float):
         """(R, t) with x_target = R @ x_source + t."""

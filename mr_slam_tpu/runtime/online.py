@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..backend import chordal, factor_graph as fg, pcm
+from ..backend import chordal, factor_graph as fg
 from ..frontend import keyframes as kf
 from ..frontend import odometry
 from ..geometry import se3
@@ -133,25 +133,15 @@ class OnlineSlam:
                         )
         if not new_loops:
             return 0
-        # PCM over ALL inter-robot loops (old + new), as the reference
-        # re-gates on every optimization round
+        # PCM over ALL inter-robot loops (old + new), re-gated per robot
+        # pair on every optimization round (`distributed_pcm.cpp:53-58`)
         inter = [l for l in self.loops + new_loops if l["robot_a"] != l["robot_b"]]
         intra = [l for l in self.loops + new_loops if l["robot_a"] == l["robot_b"]]
-        if cfg.loops.use_pcm and len(inter) > 1:
-            pa = se3.stack([
-                se3.index(self.robots[l["robot_a"]]["store"].poses, l["kf_a"])
-                for l in inter
-            ])
-            pb = se3.stack([
-                se3.index(self.robots[l["robot_b"]]["store"].poses, l["kf_b"])
-                for l in inter
-            ])
-            meas = se3.stack([l["rel"] for l in inter])
-            keep = pcm.filter_loops(
-                pa, pb, meas, np.ones(len(inter), bool),
-                threshold=cfg.loops.pcm_threshold,
-            )
-            inter = [l for l, k in zip(inter, keep) if k]
+        inter = pl.pcm_gate_inter_loops(
+            inter,
+            lambda r, k: se3.index(self.robots[r]["store"].poses, k),
+            cfg,
+        )
         self.loops = intra + inter
         self._rebuild_loop_edges()
         self.optimize()

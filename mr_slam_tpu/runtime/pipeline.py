@@ -262,6 +262,49 @@ def _verify_loop(
 
 
 # --------------------------------------------------------------------------
+# PCM gating
+# --------------------------------------------------------------------------
+
+
+def pcm_gate_inter_loops(inter: list[dict], pose_of, cfg: SlamConfig) -> list[dict]:
+    """Gate inter-robot loops with PCM **independently per robot pair**,
+    as the reference does (`distributed_pcm.cpp:53-58`). Mixing pairs in
+    one consistency matrix composes odometry poses expressed in different
+    robots' frames — meaningless cycles that sever cross-pair adjacency
+    and silently drop valid loops for R>=3.
+
+    `pose_of(robot, kf)` returns that keyframe's odometry pose."""
+    if not cfg.loops.use_pcm or len(inter) <= 1:
+        return list(inter)
+    groups: dict[tuple[int, int], list[dict]] = {}
+    for l in inter:
+        key = (min(l["robot_a"], l["robot_b"]), max(l["robot_a"], l["robot_b"]))
+        groups.setdefault(key, []).append(l)
+    kept: list[dict] = []
+    for key, ls in groups.items():
+        if len(ls) == 1:
+            kept.extend(ls)  # singleton: no pair support, keep (reference)
+            continue
+        # canonical orientation within the pair: robot_a == key[0]
+        # (a loop (ra,ia,rb,ib,rel) == (rb,ib,ra,ia,rel^-1))
+        def ends(l):
+            if l["robot_a"] == key[0]:
+                return (l["robot_a"], l["kf_a"]), (l["robot_b"], l["kf_b"]), l["rel"]
+            return (l["robot_b"], l["kf_b"]), (l["robot_a"], l["kf_a"]), se3.inverse(l["rel"])
+
+        oriented = [ends(l) for l in ls]
+        pa = se3.stack([pose_of(*ea) for ea, _, _ in oriented])
+        pb = se3.stack([pose_of(*eb) for _, eb, _ in oriented])
+        meas = se3.stack([rel for _, _, rel in oriented])
+        keep = pcm.filter_loops(
+            pa, pb, meas, np.ones(len(ls), bool),
+            threshold=cfg.loops.pcm_threshold,
+        )
+        kept.extend(l for l, k in zip(ls, keep) if k)
+    return kept
+
+
+# --------------------------------------------------------------------------
 # full pipeline
 # --------------------------------------------------------------------------
 
@@ -340,23 +383,12 @@ def run(
                 if len(loops) >= cfg.loops.max_loops:
                     break
 
-    # ---- PCM gating on inter-robot loops ---------------------------------
+    # ---- PCM gating on inter-robot loops (per robot pair) ----------------
     inter = [l for l in loops if l["robot_a"] != l["robot_b"]]
     intra = [l for l in loops if l["robot_a"] == l["robot_b"]]
-    kept_inter = inter
-    if cfg.loops.use_pcm and len(inter) > 1:
-        pa = se3.stack([
-            se3.index(robots[l["robot_a"]].store.poses, l["kf_a"]) for l in inter
-        ])
-        pb = se3.stack([
-            se3.index(robots[l["robot_b"]].store.poses, l["kf_b"]) for l in inter
-        ])
-        meas = se3.stack([l["rel"] for l in inter])
-        keep = pcm.filter_loops(
-            pa, pb, meas, np.ones(len(inter), bool),
-            threshold=cfg.loops.pcm_threshold,
-        )
-        kept_inter = [l for l, k in zip(inter, keep) if k]
+    kept_inter = pcm_gate_inter_loops(
+        inter, lambda r, k: se3.index(robots[r].store.poses, k), cfg
+    )
 
     accepted = intra + kept_inter
     for l in accepted:

@@ -184,3 +184,46 @@ class TestPCM:
             adj[a, b] = adj[b, a] = True
         c = pcm.max_clique_greedy(adj)
         assert set(c.tolist()) == {0, 1, 2}
+
+
+class TestPCMPerPair:
+    """PCM must gate each robot pair independently
+    (`distributed_pcm.cpp:53-58`): with R>=3 a single stacked consistency
+    matrix composes odometry from different robots' frames and drops
+    valid loops of all but one pair."""
+
+    def _pose_of(self, r, k):
+        return Pose(jnp.eye(3), jnp.array([float(k), 2.0 * r, 0.0]))
+
+    def _loop(self, ra, ia, rb, ib, offset=(0.0, 0.0, 0.0)):
+        # rel maps a-frame points to b-frame: rel = T_b^-1 T_a
+        ta = np.array([float(ia), 2.0 * ra, 0.0])
+        tb = np.array([float(ib), 2.0 * rb, 0.0])
+        rel = Pose(jnp.eye(3), jnp.asarray(ta - tb + np.asarray(offset)))
+        return dict(robot_a=ra, kf_a=ia, robot_b=rb, kf_b=ib, rel=rel,
+                    fitness=0.0, desc_dist=0.0)
+
+    def test_all_pairs_valid_loops_survive(self):
+        from mr_slam_tpu.runtime import pipeline as pl
+        from mr_slam_tpu.runtime.config import SlamConfig
+
+        cfg = SlamConfig()
+        assert cfg.loops.use_pcm
+        loops = [
+            # pair (0,1): 3 good + 1 outlier
+            self._loop(0, 2, 1, 2), self._loop(0, 8, 1, 8),
+            self._loop(0, 14, 1, 14),
+            self._loop(0, 5, 1, 5, offset=(4.0, -3.0, 1.5)),
+            # pair (1,2): 3 good (mixed orientation) + 1 outlier
+            self._loop(1, 3, 2, 3), self._loop(2, 9, 1, 9),
+            self._loop(1, 15, 2, 15),
+            self._loop(2, 6, 1, 6, offset=(-5.0, 2.5, 2.0)),
+        ]
+        kept = pl.pcm_gate_inter_loops(loops, self._pose_of, cfg)
+        kept_keys = {(l["robot_a"], l["kf_a"], l["robot_b"], l["kf_b"]) for l in kept}
+        for l in [loops[0], loops[1], loops[2], loops[4], loops[5], loops[6]]:
+            key = (l["robot_a"], l["kf_a"], l["robot_b"], l["kf_b"])
+            assert key in kept_keys, f"valid loop {key} dropped"
+        for l in [loops[3], loops[7]]:
+            key = (l["robot_a"], l["kf_a"], l["robot_b"], l["kf_b"])
+            assert key not in kept_keys, f"outlier {key} kept"
