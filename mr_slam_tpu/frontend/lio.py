@@ -6,16 +6,22 @@ measurement model is an OpenMP loop of per-point ikd-tree 5-NN plane
 residuals (`laserMapping.cpp:634-766`), IMU forward-propagation +
 backward undistortion (`IMU_Processing.hpp:65`), and ikd-tree insertion.
 
-The TPU formulation uses the MAP equivalence: the iterated Kalman
-update with measurement h(x) equals Gauss-Newton on
+The TPU formulation is a 15-dof error-state filter
+dx = [dphi, dp, dv, dbg, dba] (left/world-frame rotation perturbation
+R_true = exp(dphi) R_hat; gravity is estimated once at rest by
+`imu_init` — the reference's `IMU_init`, `IMU_Processing.hpp:64` — and
+held fixed, dropping IKFoM's S2 gravity manifold refinement):
 
-    ||x - x_pred||^2_{P^-1} + sum_i ||h_i(x)||^2_{R^-1}
-
-so the lidar update reuses the batched point-to-plane machinery of
-`ops/registration.py` with an added prior block from the propagated
-covariance. State: (R, p, v, bg, ba) with gravity fixed (15-dof error
-state); IMU integration is a `lax.scan` over samples; undistortion
-interpolates per-point poses along the scan sweep.
+  * `propagate` integrates the IMU packet with a per-sample first-order
+    covariance propagation P <- F P F^T + Q (a `lax.scan` of 15x15
+    matmuls — free next to the point kernels);
+  * `update` runs the iterated measurement update as MAP Gauss-Newton
+    with the propagated prior:  ||dx||^2_{P^-1} + sum_i ||h_i||^2_R.
+    Point-to-plane residuals touch only (R, p); velocity and the biases
+    correct through the prior cross-covariances built during
+    propagation (the same mechanism as the IKFoM update), and the
+    posterior covariance contracts to (J^T W J + P^-1)^-1 — the
+    information-form (I - KH) P.
 """
 from __future__ import annotations
 
@@ -44,7 +50,8 @@ class LioState(NamedTuple):
     v: jax.Array      # (3,)
     bg: jax.Array     # (3,) gyro bias
     ba: jax.Array     # (3,) accel bias
-    P: jax.Array      # (15, 15) error covariance [dR, dp, dv, dbg, dba]
+    grav: jax.Array   # (3,) gravity vector, world frame
+    P: jax.Array      # (15, 15) error covariance [dphi, dp, dv, dbg, dba]
     grid: voxel_grid.VoxelGrid
     frame: jax.Array
 
@@ -62,50 +69,83 @@ class LioConfig(NamedTuple):
     map_radius: float = 120.0
     iters: int = 4                 # IEKF / GN iterations
     max_corr_dist: float = 1.0
-    gyro_noise: float = 1e-3
-    acc_noise: float = 1e-2
-    bias_rw: float = 1e-5
+    gyro_noise: float = 1e-3       # PSD (rad^2/s)
+    acc_noise: float = 1e-2        # PSD (m^2/s^3)
+    bias_rw: float = 1e-5          # bias random-walk PSD
     lidar_noise: float = 0.05      # per-residual std (m)
 
 
 def init(config: LioConfig, origin: Pose | None = None) -> LioState:
     if origin is None:
         origin = se3.identity()
+    P0 = jnp.eye(15) * 1e-2
+    # biases start uncertain so the update can pull them in
+    P0 = P0.at[9:15, 9:15].set(jnp.eye(6) * 1e-3)
     return LioState(
         R=origin.R, p=origin.t, v=jnp.zeros(3), bg=jnp.zeros(3), ba=jnp.zeros(3),
-        P=jnp.eye(15) * 1e-2,
+        grav=GRAVITY,
+        P=P0,
         grid=voxel_grid.empty(config.map_leaf, config.table_size),
         frame=jnp.int32(0),
     )
 
 
+@jax.jit
+def imu_init(state: LioState, imu: ImuSample) -> LioState:
+    """Static initialization from a rest prefix (`IMU_init`,
+    `IMU_Processing.hpp:64`): the gyro mean is the gyro bias; the accel
+    mean direction aligns gravity (magnitude pinned to 9.81 — the
+    reference scales `G_m_s2 / mean_acc.norm()`); accel bias along
+    gravity is unobservable at rest and stays zero."""
+    w = imu.dt / jnp.maximum(jnp.sum(imu.dt), 1e-9)
+    gyro_mean = jnp.sum(imu.gyro * w[:, None], axis=0)
+    acc_mean = jnp.sum(imu.acc * w[:, None], axis=0)
+    # at rest: f_body = -R^T g  =>  g = -R f_mean, rescaled to 9.81
+    g_dir = -(state.R @ acc_mean)
+    g = g_dir * (9.81 / jnp.maximum(jnp.linalg.norm(g_dir), 1e-9))
+    return state._replace(bg=gyro_mean, grav=g)
+
+
 def propagate(state: LioState, imu: ImuSample, config: LioConfig):
     """Forward-propagate mean and covariance through an IMU packet
     (`ImuProcess::Process` forward pass). imu leaves have leading time
-    axis. Returns (state', per-sample poses for undistortion)."""
+    axis. Returns (state', per-sample poses for undistortion).
+
+    Covariance: per-sample first-order error-state transition
+      dphi' = dphi - R' dbg dt
+      dp'   = dp + dv dt
+      dv'   = dv - [R (a - ba)]x dphi dt - R dba dt
+    (left perturbation; biases random-walk), P <- F P F^T + Q."""
+    I3 = jnp.eye(3)
 
     def step(carry, s):
-        R, p, v = carry
+        R, p, v, P = carry
         w = s.gyro - state.bg
         a = s.acc - state.ba
         dR = so3.exp(w * s.dt)
         R_new = R @ dR
-        acc_w = R @ a + GRAVITY
+        acc_w = R @ a + state.grav
         p_new = p + v * s.dt + 0.5 * acc_w * s.dt**2
         v_new = v + acc_w * s.dt
-        return (R_new, p_new, v_new), (R_new, p_new)
+        dt = s.dt
+        F = jnp.eye(15)
+        F = F.at[0:3, 9:12].set(-R_new * dt)
+        F = F.at[3:6, 6:9].set(I3 * dt)
+        F = F.at[6:9, 0:3].set(-so3.hat(R @ a) * dt)
+        F = F.at[6:9, 12:15].set(-R * dt)
+        qd = jnp.concatenate([
+            jnp.full(3, config.gyro_noise * dt),
+            jnp.full(3, 1e-8 * dt),
+            jnp.full(3, config.acc_noise * dt),
+            jnp.full(6, config.bias_rw * dt),
+        ])
+        P_new = F @ P @ F.T + jnp.diag(qd)
+        return (R_new, p_new, v_new, P_new), (R_new, p_new)
 
-    (R, p, v), (Rs, ps) = jax.lax.scan(step, (state.R, state.p, state.v), imu)
-    # covariance: simplified first-order propagation (process noise only;
-    # the full IKFoM F-matrix chain adds little at lidar rates)
-    T = imu.dt.shape[0]
-    total_dt = jnp.sum(imu.dt)
-    Q = jnp.zeros((15, 15))
-    Q = Q.at[0:3, 0:3].set(jnp.eye(3) * config.gyro_noise * total_dt)
-    Q = Q.at[3:6, 3:6].set(jnp.eye(3) * config.acc_noise * total_dt**2)
-    Q = Q.at[6:9, 6:9].set(jnp.eye(3) * config.acc_noise * total_dt)
-    Q = Q.at[9:15, 9:15].set(jnp.eye(6) * config.bias_rw * total_dt)
-    new_state = state._replace(R=R, p=p, v=v, P=state.P + Q)
+    (R, p, v, P), (Rs, ps) = jax.lax.scan(
+        step, (state.R, state.p, state.v, state.P), imu
+    )
+    new_state = state._replace(R=R, p=p, v=v, P=0.5 * (P + P.T))
     return new_state, (Rs, ps)
 
 
@@ -134,19 +174,19 @@ def undistort(
 
 @partial(jax.jit, static_argnames=("config",))
 def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
-    """Iterated measurement update — the MAP Gauss-Newton with prior.
+    """Iterated measurement update — MAP Gauss-Newton with the
+    propagated prior over the FULL 15-dof error state.
 
-    Error state x = [dphi, dp] (6; velocity/biases are observed only
-    through the prior and carried passively). Residuals: point-to-plane
-    against the map with pooled-moment planes, plus the prior
-    ||x||^2_{P6^-1} anchoring to the propagated pose.
-    """
-    P6 = state.P[:6, :6] + 1e-9 * jnp.eye(6)
-    Pinv = jnp.linalg.inv(P6)
+    Residuals: point-to-plane against the map with pooled-moment planes.
+    They constrain (dphi, dp) directly; (dv, dbg, dba) move through the
+    prior cross-covariances (how the IKFoM update corrects biases).
+    Posterior covariance contracts to (J^T W J + P^-1)^-1."""
+    P = state.P + 1e-9 * jnp.eye(15)
+    Pinv = jnp.linalg.inv(P)
     w_meas = 1.0 / (config.lidar_noise**2)
 
     def body(carry, _):
-        R, p = carry
+        R, p, v, bg, ba = carry
         tp = jnp.einsum("ab,nb->na", R, scan_ds.xyz) + p
         found, cnt, mu, Cv = voxel_grid.lookup(state.grid, tp, "direct7")
         wk = jnp.where(found, cnt, 0.0)
@@ -170,24 +210,33 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
         # Perturbation R <- exp(dphi) R, p <- p + dp (rotation does NOT
         # act on p): de/dphi = n . (dphi x R q) = (R q x n) . dphi
         rot_pt = tp - p  # R q
-        J = jnp.concatenate([jnp.cross(rot_pt, n), n], axis=-1)  # [dphi, dp]
-        H = jnp.einsum("ni,nj,n->ij", J, J, w) + Pinv
-        # prior residual: deviation from propagated pose accumulated so far
-        dphi_prior = so3.log(R @ state.R.T)
-        dp_prior = p - state.p
-        x_prior = jnp.concatenate([dphi_prior, dp_prior])
-        b = -jnp.einsum("ni,n,n->i", J, r, w) - Pinv @ x_prior
-        dx = jnp.linalg.solve(H + 1e-8 * jnp.eye(6), b)
+        J = jnp.concatenate([jnp.cross(rot_pt, n), n], axis=-1)  # (N, 6)
+        JtWJ = jnp.einsum("ni,nj,n->ij", J, J, w)
+        H = Pinv.at[0:6, 0:6].add(JtWJ)
+        # prior residual: accumulated deviation from the propagated state
+        x_prior = jnp.concatenate([
+            so3.log(R @ state.R.T), p - state.p, v - state.v,
+            bg - state.bg, ba - state.ba,
+        ])
+        b = (
+            -jnp.concatenate([jnp.einsum("ni,n,n->i", J, r, w), jnp.zeros(9)])
+            - Pinv @ x_prior
+        )
+        dx = jnp.linalg.solve(H + 1e-8 * jnp.eye(15), b)
         R_new = so3.exp(dx[0:3]) @ R
-        p_new = p + dx[3:6]
-        return (R_new, p_new), jnp.sum(ok)
+        return (
+            (R_new, p + dx[3:6], v + dx[6:9], bg + dx[9:12], ba + dx[12:15]),
+            (jnp.sum(ok), H),
+        )
 
-    (R, p), inliers = jax.lax.scan(
-        body, (state.R, state.p), None, length=config.iters
+    (R, p, v, bg, ba), (inliers, Hs) = jax.lax.scan(
+        body, (state.R, state.p, state.v, state.bg, state.ba), None,
+        length=config.iters,
     )
-    # covariance contraction (Joseph-lite): P6 <- (I + H_pose)^-1-ish;
-    # keep simple diagonal shrink proportional to information gained
-    state2 = state._replace(R=so3.project(R[None])[0] if R.ndim == 3 else R, p=p)
+    # information-form covariance contraction at the converged estimate
+    P_post = jnp.linalg.inv(Hs[-1] + 1e-8 * jnp.eye(15))
+    P_post = 0.5 * (P_post + P_post.T)
+    state2 = state._replace(R=R, p=p, v=v, bg=bg, ba=ba, P=P_post)
     return state2, inliers[-1]
 
 
@@ -201,7 +250,6 @@ def step(
 ):
     """One lidar-inertial frame: propagate -> undistort -> iterated
     update -> map insert/decay."""
-    prev_R, prev_p = state.R, state.p
     state, (Rs, ps) = propagate(state, imu, config)
     imu_t = jnp.cumsum(imu.dt) - imu.dt
     und = undistort(scan, point_time, Rs, ps, state.R, state.p, imu_t)
@@ -218,10 +266,6 @@ def step(
         return s, jnp.int32(0)
 
     state, inliers = jax.lax.cond(state.frame > 0, do_update, skip, state)
-    # velocity from pose delta (complementary to the EKF's carried v)
-    total_dt = jnp.maximum(jnp.sum(imu.dt), 1e-4)
-    v_obs = (state.p - prev_p) / total_dt
-    state = state._replace(v=0.5 * state.v + 0.5 * v_obs)
     fine = pcl.voxel_downsample(
         und, config.insert_leaf, config.insert_capacity,
         bounds=((-150.0, -150.0, -150.0), (150.0, 150.0, 150.0)),

@@ -172,6 +172,55 @@ def rotate_rows(sino: jax.Array, shift: jax.Array) -> jax.Array:
     return sino[idx, :]
 
 
+@jax.jit
+def align_sinogram(sino: jax.Array, shift: jax.Array) -> jax.Array:
+    """Sinogram of the underlying image rotated by yaw = shift * pi / A.
+
+    For point rotation p' = R(yaw) p the sinogram rows shift as
+    sino'[theta] = sino[theta - shift]; rows that wrap past the [0, pi)
+    range pick up the Radon antisymmetry R(theta + pi, rho) =
+    R(theta, -rho), so wrapped rows get their column (rho) axis flipped.
+    A plain circular row shift (`rotate_rows`) ignores that flip and is
+    only correct for the correlation peak, not for the per-row
+    translation solve."""
+    A = sino.shape[-2]
+    raw = jnp.arange(A) - shift
+    idx = raw % A
+    wrapped = (jnp.floor_divide(raw, A) % 2) != 0  # odd wrap -> flip rho
+    rows = sino[idx, :]
+    return jnp.where(wrapped[:, None], jnp.flip(rows, axis=-1), rows)
+
+
+@partial(jax.jit, static_argnames=("bev_extent",))
+def se2_hypotheses(
+    query_sino: jax.Array,
+    cand_sino: jax.Array,
+    shift: jax.Array,
+    bev_extent: float = 140.0,
+):
+    """Both yaw hypotheses with their translation solves
+    (`main_RING.py:146-205` seeds GICP with (theta, t) AND
+    (theta - pi, t')).
+
+    Hypothesis k maps query-frame points into candidate-frame points:
+    p_cand = R(yaw_k) p_query + [xy_k, 0].
+
+    Returns (yaws (2,), xys (2, 2), residuals (2,)); lower residual =
+    better-supported hypothesis."""
+    A = query_sino.shape[-2]
+    aligned = align_sinogram(query_sino, shift)
+    # yaw - pi rotates the image by an extra pi: all columns flip
+    flipped = jnp.flip(aligned, axis=-1)
+    xy1, r1 = solve_translation(aligned, cand_sino, bev_extent)
+    xy2, r2 = solve_translation(flipped, cand_sino, bev_extent)
+    yaw = shift.astype(jnp.float32) * (jnp.pi / A)
+    return (
+        jnp.stack([yaw, yaw - jnp.pi]),
+        jnp.stack([xy1, xy2]),
+        jnp.stack([r1, r2]),
+    )
+
+
 @partial(jax.jit, static_argnames=("bev_extent",))
 def solve_translation(
     query_sino: jax.Array,

@@ -628,7 +628,11 @@ def so3_hat(v: jax.Array) -> jax.Array:
 
 @jax.jit
 def fitness(
-    source: PointCloud, target: voxel_grid.VoxelGrid, pose: Pose, max_range: float = 1.0
+    source: PointCloud,
+    target: voxel_grid.VoxelGrid,
+    pose: Pose,
+    max_range: float = 1.0,
+    min_match: float = 0.5,
 ) -> jax.Array:
     """PCL `getFitnessScore(max_range)` analogue — the loop acceptance
     gate (`global_manager.cpp:2058`, threshold 0.10; `main_RING.py:208`).
@@ -637,9 +641,14 @@ def fitness(
     the unbiased surface distance is point-to-plane against the matched
     cell's fitted plane (centroid distance carries an O(leaf/2) floor
     from intra-voxel spread even at perfect alignment). Non-planar cells
-    fall back to centroid distance. Unmatched source points count as
-    `max_range^2` (PCL excludes them, which can reward gross
-    misalignment; penalising them makes the gate monotone)."""
+    fall back to centroid distance.
+
+    PCL excludes unmatched points from the mean — correct for genuinely
+    occluded regions (two viewpoints of the same place never fully
+    overlap) but it can reward gross misalignment when only a sliver
+    coincides. Compromise: average over matched points, and return the
+    `max_range^2` ceiling whenever fewer than `min_match` of the source
+    points found a correspondence."""
     tp = se3.apply(pose, source.xyz)
     found, cnt, mu, Cv = voxel_grid.lookup(target, tp, "direct27")
     dc2 = jnp.sum((mu - tp[:, None, :]) ** 2, axis=-1)
@@ -652,10 +661,14 @@ def fitness(
     planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
     dp2 = jnp.sum(n * (tp - mu_b), axis=-1) ** 2
     d2 = jnp.where(planar, dp2, dc2_b)
-    matched = jnp.isfinite(dc2_b) & (d2 < max_range**2)
-    d2 = jnp.where(matched, d2, max_range**2)
     w = source.mask.astype(jnp.float32)
-    return jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)
+    matched = (jnp.isfinite(dc2_b) & (d2 < max_range**2)).astype(jnp.float32) * w
+    n_matched = jnp.sum(matched)
+    mean_matched = jnp.sum(jnp.where(matched > 0, d2, 0.0)) / jnp.maximum(
+        n_matched, 1.0
+    )
+    frac = n_matched / jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.where(frac >= min_match, mean_matched, max_range**2)
 
 
 def register_pair(

@@ -52,6 +52,10 @@ class LoopCfg:
     w_trans: float = 10.0
     pcm_threshold: float = 2.204    # chi2 @ 6dof, pcm_thresh 0.10
     use_pcm: bool = True
+    crop_xy: float = 60.0           # +-x/y crop of merged verify submaps
+                                    # (`global_manager.cpp:1916-1926`)
+    bev_z_min: float = 0.0          # BEV z floor (body frame); raise to
+                                    # strip ground returns from descriptors
 
 
 @dataclass(frozen=True)

@@ -32,7 +32,7 @@ from .config import SlamConfig
 
 
 class OnlineSlam:
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, enable_gem: bool = False):
         self.cfg = cfg
         self.odo_cfg = pl._odometry_config(cfg)
         self.robots: dict[int, dict] = {}
@@ -42,17 +42,33 @@ class OnlineSlam:
         self._pending_kf: list[tuple[int, int]] = []  # (robot, kf index)
         self.opt_poses: Optional[Pose] = None
         self.loop_every = 3  # keyframes between loop-stage runs
+        self.enable_gem = enable_gem  # per-robot rolling elevation maps
 
     # -- discovery ------------------------------------------------------
     def register_robot(self, robot: int, origin: Pose | None = None) -> None:
         if robot in self.robots:
             return
-        self.robots[robot] = dict(
+        rs = dict(
             odo=odometry.init(self.odo_cfg, origin),
             store=kf.init(self.cfg.keyframes.capacity, self.cfg.keyframes.points_per_kf),
             descs=None,
             frame=0,
         )
+        if self.enable_gem:
+            from ..mapping import elevation
+
+            e = self.cfg.elevation
+            center = (0.0, 0.0) if origin is None else (
+                float(origin.t[0]), float(origin.t[1])
+            )
+            rs["gem_local"] = elevation.init(
+                size=e.size, resolution=e.resolution, center=center
+            )
+            # flushed grid submaps: (kf index, cloud in that keyframe's
+            # body frame) — the SubMap{submap=grid, pose} publish at each
+            # keyframe boundary (`ElevationMapping.cpp:653-760`)
+            rs["gem_flushed"] = []
+        self.robots[robot] = rs
 
     # -- per-frame tick -------------------------------------------------
     def add_frame(self, robot: int, scan: pcl.PointCloud, stamp: float = 0.0) -> Pose:
@@ -70,13 +86,66 @@ class OnlineSlam:
             leaf=self.cfg.keyframes.leaf,
         )
         rs["frame"] += 1
+        if self.enable_gem:
+            self._gem_tick(rs, scan, pose)
         if bool(added):
             self._on_keyframe(robot, before)
         return pose
 
+    # -- per-robot rolling GEM -------------------------------------------
+    def _gem_tick(self, rs: dict, scan: pcl.PointCloud, pose: Pose) -> None:
+        """Shift the rolling local grid to the robot and Kalman-fuse the
+        frame — the per-frame half of `ElevationMapping::Callback`
+        (`ElevationMapping.cpp:298` -> `G_Clear_map`/`G_fuse`)."""
+        from ..mapping import elevation
+
+        m = elevation.shift(rs["gem_local"], pose.t[:2])
+        m = elevation.predict(m)
+        world = pcl.transform(scan, pose)
+        var = elevation.sensor_variance(scan.xyz)  # beam model, body frame
+        rs["gem_local"] = elevation.fuse(m, world, var)
+
+    def _gem_flush(self, rs: dict, k: int, pose: Pose) -> None:
+        """Keyframe boundary: flush the local grid as a cloud anchored to
+        keyframe k's BODY frame (`updateLocalMap`,
+        `ElevationMapping.cpp:653-760` publishing SubMap{grid, pose}).
+        Anchoring to the keyframe makes re-anchoring after optimization a
+        pose substitution, which `global_elevation` applies lazily — the
+        `updateGlobalMap`/`optKeyframeCallback` re-transform
+        (`ElevationMapping.cpp:592-821`) without grid rewrites."""
+        from ..mapping import elevation
+
+        cloud = elevation.to_cloud(rs["gem_local"])       # world frame
+        body = pcl.transform(cloud, se3.inverse(pose))
+        rs["gem_flushed"].append((k, body))
+
+    def global_elevation(self, size: int = 512, center=(0.0, 0.0)):
+        """Compose the global 2.5D map from flushed grid submaps, each
+        re-anchored to its keyframe's OPTIMIZED pose (`GetInitMap` +
+        `composeGlobalMap`'s elevation product)."""
+        from ..mapping import elevation
+
+        e = self.cfg.elevation
+        emap = elevation.init(size=size, resolution=e.resolution, center=center)
+        for robot, rs in self.robots.items():
+            for k, body in rs.get("gem_flushed", []):
+                node = self.node_of.get((robot, k))
+                if node is None:
+                    continue
+                if self.opt_poses is not None:
+                    pose = se3.index(self.opt_poses, node)
+                else:
+                    pose = se3.index(rs["store"].poses, k)
+                world = pcl.transform(body, pose)
+                var = elevation.sensor_variance(body.xyz)
+                emap = elevation.fuse(emap, world, var)
+        return emap
+
     def _on_keyframe(self, robot: int, k: int) -> None:
         rs = self.robots[robot]
         pose = se3.index(rs["store"].poses, k)
+        if self.enable_gem:
+            self._gem_flush(rs, k, pose)
         self.graph, idx = fg.add_node(self.graph, pose, jnp.int32(robot))
         self.node_of[(robot, k)] = int(idx)
         if k > 0:
@@ -86,7 +155,18 @@ class OnlineSlam:
                 self.graph, jnp.int32(prev), jnp.int32(int(idx)), meas,
                 jnp.int32(fg.ODOM), jnp.float32(1.0), jnp.float32(1.0),
             )
-        rs["descs"] = None  # invalidate descriptor cache
+        # incremental descriptor append — O(1) new work per keyframe,
+        # like `discoUpdate` (`global_manager.cpp:1867-1888`), instead of
+        # re-describing all K slots
+        one = pl.describe_one(rs["store"].cloud(k), self.cfg)
+        if rs["descs"] is None:
+            K = self.cfg.keyframes.capacity
+            rs["descs"] = jax.tree.map(
+                lambda a: jnp.zeros((K,) + a.shape, a.dtype), one
+            )
+        rs["descs"] = jax.tree.map(
+            lambda buf, v: buf.at[k].set(v), rs["descs"], one
+        )
         self._pending_kf.append((robot, k))
         if len(self._pending_kf) >= self.loop_every:
             self.run_loop_stage()
@@ -125,6 +205,7 @@ class OnlineSlam:
                         self.robots[ra]["store"], ia,
                         self.robots[rb]["store"], int(ib),
                         float(yaw_np[ib]), cfg, same_robot=(ra == rb),
+                        descs_a=descs_a, descs_b=self._descriptors(rb),
                     )
                     if accept:
                         new_loops.append(

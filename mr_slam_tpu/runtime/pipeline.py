@@ -16,6 +16,7 @@ same stages with a leading robot axis.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any
 
 import jax
@@ -55,29 +56,88 @@ class SlamResult:
         return Pose(self.opt_poses.R[ids], self.opt_poses.t[ids])
 
 
-def _run_lio(scans: pcl.PointCloud, cfg: SlamConfig, origin, imu) -> Pose:
-    """Drive the lidar-inertial front-end over a scan sequence."""
+def _lio_config(cfg: SlamConfig):
     from ..frontend import lio
 
-    gyro, acc, dts = imu
     o = cfg.odometry
-    lcfg = lio.LioConfig(
+    return lio.LioConfig(
         map_leaf=o.map_leaf, insert_leaf=o.insert_leaf, scan_leaf=o.scan_leaf,
         scan_capacity=o.scan_capacity, insert_capacity=o.insert_capacity,
         table_size=o.table_size, map_radius=o.map_radius,
     )
-    state = lio.init(lcfg, origin)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _frontend_fused_lio(scans: pcl.PointCloud, imu, cfg: SlamConfig, origin: Pose):
+    """LIO odometry + keyframe gating as ONE lax.scan — no per-frame
+    host round-trips (SURVEY §7.4 streaming). Returns (poses (T,),
+    store, added (T,) bool)."""
+    from ..frontend import lio
+
+    gyro, acc, dts = imu
+    lcfg = _lio_config(cfg)
+    state0 = lio.init(lcfg, origin)
+    store0 = kf.init(cfg.keyframes.capacity, cfg.keyframes.points_per_kf)
+    # frame 0: no update, just gate the first keyframe at the origin
+    scan0 = pcl.PointCloud(scans.xyz[0], scans.mask[0])
+    store0, added0 = kf.maybe_add(
+        store0, scan0, origin, jnp.float32(0.0),
+        dist_thresh=cfg.keyframes.dist_thresh, leaf=cfg.keyframes.leaf,
+    )
+    frame_dt = jnp.sum(dts[0])
+
+    def body(carry, frame):
+        state, store = carry
+        scan_xyz, scan_mask, g, a, dt, stamp = frame
+        scan = pcl.PointCloud(scan_xyz, scan_mask)
+        pt_time = jnp.full((scan_xyz.shape[0],), frame_dt * 0.999)
+        state, _ = lio.step(
+            state, scan, pt_time, lio.ImuSample(gyro=g, acc=a, dt=dt), lcfg
+        )
+        store, added = kf.maybe_add(
+            store, scan, state.pose(), stamp,
+            dist_thresh=cfg.keyframes.dist_thresh, leaf=cfg.keyframes.leaf,
+        )
+        return (state, store), (state.pose(), added)
+
     T = scans.xyz.shape[0]
-    frame_dt = float(jnp.sum(dts[0])) if dts.shape[0] else 0.1
-    Rs, ts = [state.R], [state.p]
-    for i in range(T - 1):
-        scan = pcl.PointCloud(scans.xyz[i + 1], scans.mask[i + 1])
-        pt_time = jnp.full((scan.xyz.shape[0],), frame_dt * 0.999)
-        packet = lio.ImuSample(gyro=gyro[i], acc=acc[i], dt=dts[i])
-        state, _ = lio.step(state, scan, pt_time, packet, lcfg)
-        Rs.append(state.R)
-        ts.append(state.p)
-    return Pose(jnp.stack(Rs), jnp.stack(ts))
+    stamps = jnp.arange(1, T, dtype=jnp.float32)
+    (state, store), (poses, added) = jax.lax.scan(
+        body, (state0, store0),
+        (scans.xyz[1:], scans.mask[1:], gyro, acc, dts, stamps),
+    )
+    poses = Pose(
+        jnp.concatenate([origin.R[None], poses.R]),
+        jnp.concatenate([origin.t[None], poses.t]),
+    )
+    added = jnp.concatenate([added0[None], added])
+    return poses, store, added
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _frontend_fused(scans: pcl.PointCloud, cfg: SlamConfig, origin: Pose):
+    """Scan-matching odometry + keyframe gating as ONE lax.scan."""
+    ocfg = _odometry_config(cfg)
+    state0 = odometry.init(ocfg, origin)
+    store0 = kf.init(cfg.keyframes.capacity, cfg.keyframes.points_per_kf)
+
+    def body(carry, frame):
+        state, store = carry
+        scan_xyz, scan_mask, stamp = frame
+        scan = pcl.PointCloud(scan_xyz, scan_mask)
+        state, _ = odometry.step(state, scan, ocfg)
+        store, added = kf.maybe_add(
+            store, scan, state.pose, stamp,
+            dist_thresh=cfg.keyframes.dist_thresh, leaf=cfg.keyframes.leaf,
+        )
+        return (state, store), (state.pose, added)
+
+    T = scans.xyz.shape[0]
+    stamps = jnp.arange(T, dtype=jnp.float32)
+    (state, store), (poses, added) = jax.lax.scan(
+        body, (state0, store0), (scans.xyz, scans.mask, stamps)
+    )
+    return poses, store, added
 
 
 def _odometry_config(cfg: SlamConfig) -> odometry.OdometryConfig:
@@ -102,25 +162,21 @@ def run_frontend(
     `imu`: optional (gyro (T-1, S, 3), acc (T-1, S, 3), dt (T-1, S))
     packets; with `cfg.odometry.frontend == 'lio'` the FAST-LIO-style
     inertial front-end runs instead of pure scan matching (the
-    reference's pluggable-front-end switch)."""
+    reference's pluggable-front-end switch).
+
+    The whole front-end (odometry ticks + keyframe gating) is ONE
+    compiled `lax.scan`; the only device->host transfer per sequence is
+    the (T,) keyframe mask (SURVEY §7.4 streaming/asynchrony)."""
+    if origin is None:
+        origin = se3.identity()
     if cfg.odometry.frontend == "lio" and imu is not None:
-        poses = _run_lio(scans, cfg, origin, imu)
+        poses, store, added = _frontend_fused_lio(scans, imu, cfg, origin)
     else:
-        _, poses, _ = odometry.run(scans, _odometry_config(cfg), origin)
-    store = kf.init(cfg.keyframes.capacity, cfg.keyframes.points_per_kf)
-    T = scans.xyz.shape[0]
-    kf_frames = []
-    for i in range(T):
-        cloud = pcl.PointCloud(scans.xyz[i], scans.mask[i])
-        pose_i = se3.index(poses, i)
-        store, added = kf.maybe_add(
-            store, cloud, pose_i, jnp.float32(i),
-            dist_thresh=cfg.keyframes.dist_thresh, leaf=cfg.keyframes.leaf,
-        )
-        if bool(added):
-            kf_frames.append(i)
+        poses, store, added = _frontend_fused(scans, cfg, origin)
+    kf_frames = np.flatnonzero(np.asarray(added))
     return RobotResult(
-        odom_poses=poses, store=store, kf_frame_idx=np.array(kf_frames, np.int64)
+        odom_poses=poses, store=store,
+        kf_frame_idx=np.asarray(kf_frames, np.int64),
     )
 
 
@@ -129,50 +185,43 @@ def run_frontend(
 # --------------------------------------------------------------------------
 
 
-def compute_descriptors(store: kf.KeyframeStore, cfg: SlamConfig):
-    """Batch-describe every keyframe. Returns a dict of stacked arrays
-    (contents depend on cfg.loops.method)."""
-    K = store.capacity
-    clouds = pcl.PointCloud(store.xyz, store.mask)  # (K, P, ...)
+def describe_one(cloud: pcl.PointCloud, cfg: SlamConfig) -> dict:
+    """Describe ONE keyframe cloud. Returns the unbatched dict for
+    cfg.loops.method (same keys as `compute_descriptors`)."""
     method = cfg.loops.method
     if method == "scancontext":
-        descs = jax.vmap(scancontext.describe)(clouds)
-        keys = scancontext.ring_key(descs)
-        return {"sc": descs, "key": keys}
+        d = scancontext.describe(cloud)
+        return {"sc": d, "key": scancontext.ring_key(d)}
     if method == "ring":
-        def one(c):
-            norm = bev.normalize_cloud(c)
-            occ = bev.cartesian_occupancy(norm)[0]
-            d = ring.describe(occ)
-            return d.sinogram, d.tiring
-        sino, tiring = jax.vmap(one)(clouds)
-        return {"sino": sino, "tiring": tiring}
+        norm = bev.normalize_cloud(cloud, z_min=cfg.loops.bev_z_min)
+        occ = bev.cartesian_occupancy(norm)[0]
+        d = ring.describe(occ)
+        return {"sino": d.sinogram, "tiring": d.tiring}
     if method == "disco":
-        def one(c):
-            g = bev.polar_occupancy(c, 40, 120, z_bins=20)
-            d = disco.describe(g)
-            return d.signature, d.spectrum
-        sig, spec = jax.vmap(one)(clouds)
-        return {"sig": sig, "spec": spec}
+        g = bev.polar_occupancy(cloud, 40, 120, z_bins=20,
+                                z_min=cfg.loops.bev_z_min)
+        d = disco.describe(g)
+        return {"sig": d.signature, "spec": d.spectrum}
     if method == "ringpp":
-        def one(c):
-            fb = bev.eigen_feature_bev(c, 120, 120, k=8)
-            d = ring.describe_ringpp(fb)
-            return d.sinograms, d.tirings
-        sino, tiring = jax.vmap(one)(clouds)
-        return {"sino_pp": sino, "tiring_pp": tiring}
+        fb = bev.eigen_feature_bev(cloud, 120, 120, k=8)
+        d = ring.describe_ringpp(fb)
+        return {"sino_pp": d.sinograms, "tiring_pp": d.tirings}
     if method == "m2dp":
-        from . import pipeline as _self  # noqa
         from ..loop import m2dp
 
-        sig = jax.vmap(m2dp.describe)(clouds)
-        return {"m2dp": sig}
+        return {"m2dp": m2dp.describe(cloud)}
     if method == "fasthist":
         from ..loop import fast_histogram
 
-        sig = jax.vmap(fast_histogram.describe)(clouds)
-        return {"hist": sig}
+        return {"hist": fast_histogram.describe(cloud)}
     raise ValueError(f"unknown loop method {method}")
+
+
+def compute_descriptors(store: kf.KeyframeStore, cfg: SlamConfig):
+    """Batch-describe every keyframe. Returns a dict of stacked arrays
+    (contents depend on cfg.loops.method)."""
+    clouds = pcl.PointCloud(store.xyz, store.mask)  # (K, P, ...)
+    return jax.vmap(lambda c: describe_one(c, cfg))(clouds)
 
 
 def _descriptor_distances(desc_q: dict, qi: int, desc_db: dict, cfg: SlamConfig):
@@ -222,6 +271,47 @@ def _descriptor_distances(desc_q: dict, qi: int, desc_db: dict, cfg: SlamConfig)
 # --------------------------------------------------------------------------
 
 
+def _loop_seeds(
+    descs_a: dict | None,
+    ia: int,
+    descs_b: dict | None,
+    ib: int,
+    yaw_guess: float,
+    cfg: SlamConfig,
+) -> list[Pose]:
+    """Initial-guess pose seeds (b-frame <- a-frame points) for loop
+    verification. RING-family methods seed the FULL SE(2): both yaw
+    hypotheses (theta, theta - pi) with their row-shift translation
+    solves, best-residual first (`main_RING.py:146-205`); other methods
+    seed yaw-only at zero translation."""
+    m = cfg.loops.method
+    sino_a = sino_b = None
+    if descs_a is not None and descs_b is not None:
+        if m == "ring":
+            sino_a = descs_a["sino"][ia]
+            sino_b = descs_b["sino"][ib]
+        elif m == "ringpp":
+            # channel-mean sinogram carries the occupancy structure
+            sino_a = jnp.mean(descs_a["sino_pp"][ia], axis=0)
+            sino_b = jnp.mean(descs_b["sino_pp"][ib], axis=0)
+    if sino_a is None:
+        # yaw maps a-frame points to b-frame; init must map b -> a
+        fwd = Pose(so3.yaw_rot(jnp.float32(yaw_guess)), jnp.zeros(3))
+        return [se3.inverse(fwd)]
+    A = sino_a.shape[-2]
+    shift = jnp.int32(jnp.round(yaw_guess * A / jnp.pi))
+    yaws, xys, res = ring.se2_hypotheses(sino_a, sino_b, shift)
+    order = np.argsort(np.asarray(res))
+    seeds = []
+    for k in order:
+        fwd = Pose(
+            so3.yaw_rot(yaws[k]),
+            jnp.concatenate([xys[k], jnp.zeros(1)]),
+        )
+        seeds.append(se3.inverse(fwd))
+    return seeds
+
+
 def _verify_loop(
     store_a: kf.KeyframeStore,
     ia: int,
@@ -230,13 +320,17 @@ def _verify_loop(
     yaw_guess: float,
     cfg: SlamConfig,
     same_robot: bool = False,
+    descs_a: dict | None = None,
+    descs_b: dict | None = None,
 ):
     """Geometry check (`ICPCheck`, `global_manager.cpp:1945-2084`):
-    merge +-window keyframes around each side, register a->b, gate on
-    fitness. Same-robot candidates are seeded with the odometry relative
-    pose (the reference's odometry-space loop path does the same); cross
-    robot ones with the descriptor yaw. Returns (accept, rel_pose
-    (b_kf_frame <- a_kf_frame), fitness)."""
+    merge +-window keyframes around each side (cropped +-crop_xy in x/y,
+    `global_manager.cpp:1916-1926`), register a->b, gate on fitness.
+    Same-robot candidates are seeded with the odometry relative pose
+    (the reference's odometry-space loop path does the same); cross
+    robot ones with the descriptor SE(2) seeds (dual yaw + translation
+    for RING-family). Returns (accept, rel_pose (b_kf_frame <-
+    a_kf_frame), fitness)."""
     L = cfg.loops
     merged_a = kf.merged_neighborhood(store_a, jnp.int32(ia), L.verify_window)
     merged_b = kf.merged_neighborhood(store_b, jnp.int32(ib), L.verify_window)
@@ -245,20 +339,42 @@ def _verify_loop(
     # bring both into their center-keyframe body frames
     a_local = pcl.transform(merged_a, se3.inverse(pose_a))
     b_local = pcl.transform(merged_b, se3.inverse(pose_b))
+    c = L.crop_xy
+    a_local = pcl.crop_box(a_local, (-c, -c, -jnp.inf), (c, c, jnp.inf))
+    b_local = pcl.crop_box(b_local, (-c, -c, -jnp.inf), (c, c, jnp.inf))
     a_ds = pcl.voxel_downsample(a_local, L.verify_leaf, L.verify_capacity)
     b_ds = pcl.voxel_downsample(b_local, L.verify_leaf, L.verify_capacity)
     if same_robot:
         # T_ab init from (drifted) odometry: T_a^-1 T_b
-        init = se3.between(pose_a, pose_b)
+        seeds = [se3.between(pose_a, pose_b)]
     else:
-        init = Pose(so3.yaw_rot(jnp.float32(yaw_guess)), jnp.zeros(3))
-    res = registration.register_pair(
-        b_ds, a_ds, init, leaf=0.5, method="vgicp", iters=25,
-    )
-    # res.pose maps b-frame points into a-frame: T_ab. Loop measurement
+        seeds = _loop_seeds(descs_a, ia, descs_b, ib, yaw_guess, cfg)
+    best = None
+    # grid leaf tracks the downsample leaf; table sized ~4x the point
+    # capacity so wide (+-crop_xy) merged submaps don't saturate the hash
+    grid_leaf = max(0.5, L.verify_leaf)
+    table = max(1 << 15, 4 * L.verify_capacity)
+    for init in seeds:
+        # coarse-to-fine: a 2 m grid with a 4 m correspondence radius
+        # pulls metre-scale seed errors into the fine basin (the
+        # point-to-plane metric is nearly flat in-plane on open ground,
+        # so single-scale VGICP stalls at the seed)
+        coarse = registration.register_pair(
+            b_ds, a_ds, init, leaf=2.0, table_size=1 << 15,
+            method="vgicp", iters=15, max_corr_dist=4.0,
+        )
+        res = registration.register_pair(
+            b_ds, a_ds, coarse.pose, leaf=grid_leaf, table_size=table,
+            method="vgicp", iters=15,
+        )
+        if best is None or float(res.fitness) < float(best.fitness):
+            best = res
+        if float(best.fitness) < L.fitness_thresh:
+            break  # first seed that verifies wins (reference behavior)
+    # best.pose maps b-frame points into a-frame: T_ab. Loop measurement
     # wants b <- a: invert.
-    accept = float(res.fitness) < L.fitness_thresh
-    return accept, se3.inverse(res.pose), float(res.fitness)
+    accept = float(best.fitness) < L.fitness_thresh
+    return accept, se3.inverse(best.pose), float(best.fitness)
 
 
 # --------------------------------------------------------------------------
@@ -323,7 +439,21 @@ def run(
         origin = origins[r] if origins else None
         imu = imus[r] if imus else None
         robots.append(run_frontend(scans_per_robot[r], cfg, origin, imu))
+    return run_backend(robots, cfg)
 
+
+def run_backend(
+    robots: list[RobotResult],
+    cfg: SlamConfig,
+    pgo_mesh=None,
+) -> SlamResult:
+    """Back-end stages on finished front-end products: graph build, loop
+    retrieval + verification, per-pair PCM, chordal PGO. Deterministic
+    given identical inputs, so multi-host runs execute it redundantly on
+    every process (replicated control; see `parallel/multihost.py`).
+    `pgo_mesh`: optional device mesh — the optimizer runs edge-sharded
+    over it (`backend/distributed.py`) instead of single-device."""
+    R = len(robots)
     descs = [compute_descriptors(rr.store, cfg) for rr in robots]
 
     # ---- build graph: odometry chains ------------------------------------
@@ -372,6 +502,7 @@ def run(
                     accept, rel, fit = _verify_loop(
                         robots[ra].store, ia, robots[rb].store, int(ib),
                         float(yaw_np[ib]), cfg, same_robot=(ra == rb),
+                        descs_a=descs[ra], descs_b=descs[rb],
                     )
                     if accept:
                         loops.append(
@@ -410,13 +541,16 @@ def run(
     for r in range(R):
         if node_of[r, 0] >= 0:
             anchors[int(node_of[r, 0])] = True
-    opt = chordal.optimize(
-        graph, jnp.asarray(anchors),
-        chordal.PGOConfig(
-            rot_cg_iters=cfg.pgo.rot_cg_iters, gn_iters=cfg.pgo.gn_iters,
-            pose_cg_iters=cfg.pgo.pose_cg_iters, robust_delta=cfg.pgo.robust_delta,
-        ),
+    pgo_cfg = chordal.PGOConfig(
+        rot_cg_iters=cfg.pgo.rot_cg_iters, gn_iters=cfg.pgo.gn_iters,
+        pose_cg_iters=cfg.pgo.pose_cg_iters, robust_delta=cfg.pgo.robust_delta,
     )
+    if pgo_mesh is not None:
+        from ..backend import distributed
+
+        opt = distributed.optimize(graph, jnp.asarray(anchors), pgo_mesh, pgo_cfg)
+    else:
+        opt = chordal.optimize(graph, jnp.asarray(anchors), pgo_cfg)
     return SlamResult(
         robots=robots, graph=graph, opt_poses=opt, node_of=node_of,
         loops=accepted,

@@ -52,6 +52,28 @@ class TestImuPropagation:
         assert err < 1.0, f"IMU dead-reckoning err {err:.3f}"
 
 
+class TestImuInit:
+    def test_recovers_gyro_bias_and_gravity(self):
+        """`IMU_init` analogue: static rest prefix -> gyro mean = bias,
+        accel mean direction = gravity (with a tilted initial attitude)."""
+        config = lio.LioConfig(table_size=1 << 10)
+        tilt = so3.exp(jnp.array([0.12, -0.08, 0.0]))
+        state = lio.init(config)._replace(R=tilt)
+        bg_true = jnp.array([0.004, -0.002, 0.003])
+        # rest: specific force = -R^T g
+        f = tilt.T @ jnp.array([0.0, 0.0, 9.81])
+        imu = lio.ImuSample(
+            gyro=jnp.tile(bg_true, (50, 1)),
+            acc=jnp.tile(f, (50, 1)),
+            dt=jnp.full((50,), 0.01),
+        )
+        state = lio.imu_init(state, imu)
+        np.testing.assert_allclose(np.asarray(state.bg), np.asarray(bg_true),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(state.grav),
+                                   [0.0, 0.0, -9.81], atol=1e-4)
+
+
 @pytest.mark.slow
 class TestLioPipeline:
     def test_tracks_with_imu(self):
@@ -79,3 +101,70 @@ class TestLioPipeline:
             state, inl = lio.step(state, scan, pt_time, imu, config)
             errs.append(float(jnp.linalg.norm(state.p - traj.t[i + 1])))
         assert errs[-1] < 0.5, f"LIO drift {errs[-1]:.3f} ({errs})"
+
+    def test_covariance_contracts_on_update(self):
+        """The iterated update must SHRINK the pose covariance — the
+        (I - KH) P contraction the reference's esekfom update performs."""
+        world = synthetic.default_world(3)
+        traj = synthetic.circle_trajectory(6, radius=25.0, laps=0.02)
+        gyro, acc, dts = synthetic.imu_for_trajectory(traj, frame_dt=0.1, n_sub=10)
+        config = lio.LioConfig(table_size=1 << 16, scan_capacity=4096, iters=3)
+        state = lio.init(config, se3.index(traj, 0))
+        state = state._replace(v=(traj.t[1] - traj.t[0]) / 0.1)
+        keys = jax.random.split(jax.random.PRNGKey(1), 6)
+        for i in range(3):
+            xyz, _, hit = synthetic.scan(
+                world, se3.index(traj, i + 1), n_rings=16, n_azimuth=512,
+                key=keys[i],
+            )
+            scan = synthetic.scan_to_cloud(xyz, hit)
+            pt_time = jnp.full((scan.xyz.shape[0],), 0.0999)
+            imu = lio.ImuSample(gyro=gyro[i], acc=acc[i], dt=dts[i])
+            state, _ = lio.step(state, scan, pt_time, imu, config)
+        # explicit propagate -> update cycle on the warmed-up state
+        imu = lio.ImuSample(gyro=gyro[3], acc=acc[3], dt=dts[3])
+        prop, (Rs, ps) = lio.propagate(state, imu, config)
+        xyz, _, hit = synthetic.scan(
+            world, se3.index(traj, 4), n_rings=16, n_azimuth=512, key=keys[4]
+        )
+        scan = synthetic.scan_to_cloud(xyz, hit)
+        from mr_slam_tpu.ops import pointcloud as pcl
+        ds = pcl.voxel_downsample(scan, config.scan_leaf, config.scan_capacity)
+        post, inl = lio.update(prop, ds, config)
+        assert int(inl) > 200
+        tr_prop = float(jnp.trace(prop.P[:6, :6]))
+        tr_post = float(jnp.trace(post.P[:6, :6]))
+        assert tr_post < tr_prop, f"P grew: {tr_post} !< {tr_prop}"
+        # propagate must GROW uncertainty
+        assert tr_prop > float(jnp.trace(state.P[:6, :6]))
+
+    def test_biased_imu_converges(self):
+        """Constant gyro bias injected into the IMU stream: the filter
+        estimates it (bg -> true bias) and tracking stays bounded."""
+        world = synthetic.default_world(3)
+        n = 15
+        traj = synthetic.circle_trajectory(n, radius=25.0, laps=0.05)
+        gyro, acc, dts = synthetic.imu_for_trajectory(traj, frame_dt=0.1, n_sub=10)
+        bg_true = jnp.array([0.02, -0.01, 0.03])
+        gyro = gyro + bg_true
+        config = lio.LioConfig(table_size=1 << 16, scan_capacity=4096, iters=4)
+        state = lio.init(config, se3.index(traj, 0))
+        state = state._replace(v=(traj.t[1] - traj.t[0]) / 0.1)
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        for i in range(n - 1):
+            xyz, _, hit = synthetic.scan(
+                world, se3.index(traj, i + 1), n_rings=16, n_azimuth=512,
+                key=keys[i],
+            )
+            scan = synthetic.scan_to_cloud(xyz, hit)
+            pt_time = jnp.full((scan.xyz.shape[0],), 0.0999)
+            imu = lio.ImuSample(gyro=gyro[i], acc=acc[i], dt=dts[i])
+            state, _ = lio.step(state, scan, pt_time, imu, config)
+        drift = float(jnp.linalg.norm(state.p - traj.t[n - 1]))
+        bg_err = float(jnp.linalg.norm(state.bg - bg_true))
+        bg_err0 = float(jnp.linalg.norm(bg_true))
+        assert drift < 0.8, f"biased-IMU drift {drift:.3f}"
+        assert bg_err < 0.5 * bg_err0, (
+            f"gyro bias not estimated: |bg-true|={bg_err:.4f} "
+            f"(|true|={bg_err0:.4f}, bg={np.asarray(state.bg)})"
+        )
