@@ -52,9 +52,12 @@ def bench_frontend_and_ate() -> dict:
     from mr_slam_tpu.runtime import pipeline as pl
     from mr_slam_tpu.runtime.config import SlamConfig, LoopCfg, OdometryCfg
 
+    # descriptor gate calibrated for this scene (32x1024 rays: genuine
+    # revisits score 0.65-0.70, false matches 0.80+); verification's
+    # fitness gate does the geometric rejection
     cfg = SlamConfig(
         odometry=OdometryCfg(scan_capacity=8192, insert_capacity=16384),
-        loops=LoopCfg(dist_thresh=0.3, min_separation=8, fitness_thresh=0.15),
+        loops=LoopCfg(dist_thresh=0.75, min_separation=8, fitness_thresh=0.15),
     )
     world = synthetic.default_world(7, extent=60.0, n_boxes=36)
     T = 40
@@ -90,6 +93,53 @@ def bench_frontend_and_ate() -> dict:
         "ate_frames": int(T),
         "ate_loops": len(res.loops),
     }
+
+
+def bench_pallas_stencil(size: int = 2048, reps: int = 10) -> dict:
+    """Fused Pallas 5x5 terrain stencil vs its XLA twin, chained inside
+    one jit so dispatch overhead cancels. Returns ms/iter + speedup."""
+    import numpy as np
+
+    from mr_slam_tpu.mapping import elevation
+    from mr_slam_tpu.ops import pallas_stencil
+
+    rng = np.random.default_rng(0)
+    height = jnp.asarray(rng.normal(0, 1, (size, size)).astype(np.float32))
+    valid = jnp.asarray(rng.random((size, size)) > 0.2)
+    res = jnp.float32(0.2)
+
+    @jax.jit
+    def g_xla(h):
+        def body(h, _):
+            m = elevation.ElevationMap(
+                height=h, variance=jnp.ones_like(h), valid=valid,
+                origin=jnp.zeros(2), resolution=res,
+            )
+            f = elevation.features(m)
+            return h + f.traversability * 1e-6 + f.slope * 1e-7, None
+        return jax.lax.scan(body, h, None, length=reps)[0]
+
+    @jax.jit
+    def g_pal(h):
+        def body(h, _):
+            s, r, st, t = pallas_stencil.terrain_features(h, valid, res)
+            return h + t * 1e-6 + s * 1e-7, None
+        return jax.lax.scan(body, h, None, length=reps)[0]
+
+    out = {}
+    for name, g in (("xla", g_xla), ("pallas", g_pal)):
+        o = g(height)
+        o.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            o = g(height)
+        o.block_until_ready()
+        out[name + "_ms"] = round(
+            (time.perf_counter() - t0) / (3 * reps) * 1e3, 3
+        )
+    out["speedup"] = round(out["xla_ms"] / out["pallas_ms"], 2)
+    out["size"] = size
+    return out
 
 
 def bench_scaling() -> dict | None:
@@ -181,6 +231,10 @@ def main() -> None:
         extra.update(bench_frontend_and_ate())
     except Exception as e:  # never lose the headline metric
         extra["frontend_error"] = repr(e)[:200]
+    try:
+        extra["pallas_stencil"] = bench_pallas_stencil()
+    except Exception as e:
+        extra["pallas_stencil_error"] = repr(e)[:200]
     scaling = bench_scaling()
     if scaling is not None:
         extra["scaling"] = scaling

@@ -57,14 +57,23 @@ def _preduce(x, axis_name):
     return x if axis_name is None else jax.lax.psum(x, axis_name)
 
 
-@partial(jax.jit, static_argnames=("iters", "axis_name"))
+@partial(jax.jit, static_argnames=("iters", "axis_name", "anchor_weight"))
 def rotation_init(
-    g: FactorGraph, anchors: jax.Array, iters: int = 60, axis_name: str | None = None
+    g: FactorGraph,
+    anchors: jax.Array,
+    iters: int = 60,
+    axis_name: str | None = None,
+    anchor_weight: float = 1e3,
 ) -> jax.Array:
     """Solve min sum_e w_e |X_j - X_i Rij|_F^2 (+ anchored rotations)
     over X in R^{N x 3 x 3} by CG on the normal equations; project the
     result to SO(3). `anchors`: (N,) bool — nodes pinned to their
     current rotation (first node per robot).
+
+    `anchor_weight` defaults softer than the pose stage's
+    (PGOConfig.anchor_weight): the linear rotation system is solved from
+    a warm start in `iters` CG steps, and a 1e6 anchor row makes it so
+    ill-conditioned that CG stalls on the anchor residual.
 
     This is `estimateRotation()`'s linear system
     (`distributed_mapper.cpp:117-189`) solved globally instead of by
@@ -75,7 +84,7 @@ def rotation_init(
     Rij = g.edge_meas.R
     ei, ej = g.edge_i, g.edge_j
     anchor_R = g.poses.R
-    aw = anchors.astype(jnp.float32) * 1e3
+    aw = anchors.astype(jnp.float32) * anchor_weight
 
     def A(X):
         Xi = X[ei]

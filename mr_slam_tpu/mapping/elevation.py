@@ -355,6 +355,27 @@ def features(
     )
 
 
+def features_fused(
+    m: ElevationMap,
+    slope_crit: float = 0.6,
+    rough_crit: float = 0.15,
+    step_crit: float = 0.3,
+) -> TerrainFeatures:
+    """`features` computed by the fused Pallas stencil kernel
+    (`ops/pallas_stencil.py`) — one HBM pass instead of ~30; measured
+    1.1-2.6x faster on TPU (bench.py), larger maps win more. Numerics
+    match `features` (the kernel is the more accurate of the two)."""
+    from ..ops import pallas_stencil
+
+    slope, rough, step, trav = pallas_stencil.terrain_features(
+        m.height, m.valid, m.resolution,
+        slope_crit=slope_crit, rough_crit=rough_crit, step_crit=step_crit,
+    )
+    return TerrainFeatures(
+        slope=slope, roughness=rough, step=step, traversability=trav
+    )
+
+
 def _dilate3(x: jax.Array) -> jax.Array:
     """3x3 max filter."""
     p = jnp.pad(x, 1, constant_values=-jnp.inf)
