@@ -56,6 +56,10 @@ class LoopCfg:
                                     # (`global_manager.cpp:1916-1926`)
     bev_z_min: float = 0.0          # BEV z floor (body frame); raise to
                                     # strip ground returns from descriptors
+    odom_radius: float = 0.0        # same-robot odometry-space loop search
+                                    # radius in m (0 = off) — the 6-D
+                                    # key-pose radius path
+                                    # (`global_manager.cpp:1029-1094`)
 
 
 @dataclass(frozen=True)

@@ -197,9 +197,28 @@ class OnlineSlam:
                     lo = max(0, ia - cfg.loops.min_separation)
                     hi = min(Kb, ia + cfg.loops.min_separation + 1)
                     d[lo:hi] = np.inf
-                order = np.argsort(d)[: cfg.loops.candidates]
+                order = list(np.argsort(d)[: cfg.loops.candidates])
+                if ra == rb:
+                    # odometry-space radius path (`global_manager.cpp:
+                    # 1029-1094`) joins the candidate set
+                    for j in pl.odom_space_candidates(
+                        self.robots[ra]["store"], ia, cfg
+                    ):
+                        if j not in order:
+                            order.append(j)
                 for ib in order:
-                    if not np.isfinite(d[ib]) or d[ib] > cfg.loops.dist_thresh:
+                    desc_ok = (
+                        np.isfinite(d[ib]) and d[ib] <= cfg.loops.dist_thresh
+                    )
+                    odom_ok = (
+                        ra == rb and cfg.loops.odom_radius > 0.0
+                        and abs(ia - int(ib)) > cfg.loops.min_separation
+                        and float(jnp.linalg.norm(
+                            self.robots[ra]["store"].poses.t[ia]
+                            - self.robots[rb]["store"].poses.t[int(ib)]
+                        )) < cfg.loops.odom_radius
+                    )
+                    if not (desc_ok or odom_ok):
                         continue
                     accept, rel, fit = pl._verify_loop(
                         self.robots[ra]["store"], ia,

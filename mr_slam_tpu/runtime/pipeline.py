@@ -377,6 +377,28 @@ def _verify_loop(
     return accept, se3.inverse(best.pose), float(best.fitness)
 
 
+def odom_space_candidates(
+    store: kf.KeyframeStore, qi: int, cfg: SlamConfig
+) -> list[int]:
+    """Same-robot loop candidates by RADIUS SEARCH over the key-pose
+    cloud — the reference's odometry-space loop path
+    (`detectLoopClosure`'s 6-D radius search,
+    `global_manager.cpp:1029-1094`). Returns past keyframe indices within
+    `cfg.loops.odom_radius` metres of keyframe `qi`, excluding the
+    temporal window; nearest first, capped at cfg.loops.candidates."""
+    L = cfg.loops
+    if L.odom_radius <= 0.0:
+        return []
+    K = int(store.count)
+    if K == 0:
+        return []
+    t = np.asarray(store.poses.t[:K])
+    d = np.linalg.norm(t - t[qi], axis=-1)
+    ok = (d < L.odom_radius) & (np.abs(np.arange(K) - qi) > L.min_separation)
+    idx = np.flatnonzero(ok)
+    return [int(i) for i in idx[np.argsort(d[idx])][: L.candidates]]
+
+
 # --------------------------------------------------------------------------
 # PCM gating
 # --------------------------------------------------------------------------
@@ -495,9 +517,25 @@ def run_backend(
                     lo = max(0, ia - cfg.loops.min_separation)
                     hi = min(Kb, ia + cfg.loops.min_separation + 1)
                     d[lo:hi] = np.inf
-                order = np.argsort(d)[: cfg.loops.candidates]
+                order = list(np.argsort(d)[: cfg.loops.candidates])
+                if ra == rb:
+                    # odometry-space radius path joins the candidate set
+                    for j in odom_space_candidates(robots[ra].store, ia, cfg):
+                        if j not in order:
+                            order.append(j)
                 for ib in order:
-                    if not np.isfinite(d[ib]) or d[ib] > cfg.loops.dist_thresh:
+                    desc_ok = np.isfinite(d[ib]) and d[ib] <= cfg.loops.dist_thresh
+                    odom_ok = (
+                        ra == rb and cfg.loops.odom_radius > 0.0
+                        and abs(ia - int(ib)) > cfg.loops.min_separation
+                        and float(
+                            jnp.linalg.norm(
+                                robots[ra].store.poses.t[ia]
+                                - robots[rb].store.poses.t[int(ib)]
+                            )
+                        ) < cfg.loops.odom_radius
+                    )
+                    if not (desc_ok or odom_ok):
                         continue
                     accept, rel, fit = _verify_loop(
                         robots[ra].store, ia, robots[rb].store, int(ib),

@@ -44,3 +44,29 @@ class TestLioFrontend:
         )
         errs = jnp.linalg.norm(rr.odom_poses.t - traj.t, axis=-1)
         assert float(errs[-1]) < 1.0, np.asarray(errs).round(2)
+
+
+@pytest.mark.slow
+class TestOdomSpaceLoops:
+    def test_radius_search_finds_loops_without_descriptors(self):
+        """Same-robot loops via the odometry-space radius path
+        (`global_manager.cpp:1029-1094`) with the descriptor gate shut."""
+        from mr_slam_tpu.runtime.config import LoopCfg
+
+        world = synthetic.default_world(5)
+        n = 28
+        traj = synthetic.circle_trajectory(n, radius=22.0, laps=1.15)
+        scans = make_scans(world, traj, n)
+        cfg = SlamConfig(
+            odometry=OdometryCfg(table_size=1 << 16, scan_capacity=4096),
+            loops=LoopCfg(
+                dist_thresh=1e-6,       # descriptor path produces nothing
+                min_separation=8, fitness_thresh=0.15,
+                odom_radius=6.0,
+            ),
+        )
+        res = pipeline.run([scans], cfg, origins=[se3.index(traj, 0)])
+        assert len(res.loops) >= 1, "odometry-space path found no loops"
+        for l in res.loops:
+            assert l["robot_a"] == l["robot_b"] == 0
+            assert abs(l["kf_a"] - l["kf_b"]) > 8
