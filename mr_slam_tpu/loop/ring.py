@@ -74,6 +74,44 @@ def radon(bev: jax.Array, n_angles: int = 120) -> jax.Array:
     return jnp.sum(rotated, axis=-2)
 
 
+@partial(jax.jit, static_argnames=("n_angles", "upsize"))
+def radon_mxu(bev: jax.Array, n_angles: int = 120, upsize: int = 256) -> jax.Array:
+    """MXU/FFT Radon — no gathers, the TPU-native lowering.
+
+    The projection at angle theta splits per pixel (x, y) into
+    rho = (x-c) cos(theta) + (y-c) sin(theta): splat the x-term with a
+    linear kernel via ONE matmul per angle (batched einsum on the MXU),
+    then apply the y-term as per-row FFT phase shifts and reduce over
+    rows (the shear of a rotate-free Radon). Replaces torch-radon's
+    texture-sampled line integrals (`LoopDetection/torch-radon/`) like
+    `radon` does, but maps to the MXU instead of 4-tap gathers.
+
+    `upsize` must exceed W + max|shift| (= 2W for the centred BEV) so
+    circular FFT shifts never wrap. Output matches `radon` up to the
+    splat-vs-gather interpolation kernel (adjoint pair): identical
+    correlation/retrieval behaviour, not bit-equality."""
+    H, W = bev.shape[-2:]
+    A = n_angles
+    thetas = jnp.linspace(0.0, jnp.pi, A, endpoint=False)
+    c = (W - 1) / 2.0
+    cy = (H - 1) / 2.0
+    cu = (upsize - 1) / 2.0
+    x = jnp.arange(W, dtype=jnp.float32) - c
+    u = jnp.arange(upsize, dtype=jnp.float32) - cu
+    a = x[None, :, None] * jnp.cos(thetas)[:, None, None]  # (A, W, 1)
+    Cx = jnp.maximum(0.0, 1.0 - jnp.abs(a - u[None, None, :]))  # (A, W, U)
+    T = jnp.einsum("yx,axu->ayu", bev, Cx)  # (A, H, U) — MXU
+    F = jnp.fft.rfft(T, axis=-1)            # (A, H, K)
+    y = jnp.arange(H, dtype=jnp.float32) - cy
+    b = y[None, :] * jnp.sin(thetas)[:, None]               # (A, H)
+    k = jnp.arange(F.shape[-1], dtype=jnp.float32)
+    phase = jnp.exp(-2j * jnp.pi * b[..., None] * k / upsize)
+    G = jnp.sum(F * phase, axis=-2)         # (A, K)
+    full = jnp.fft.irfft(G, n=upsize, axis=-1)              # (A, U)
+    lo = int(round(cu - c))
+    return full[:, lo:lo + W]
+
+
 class RingDescriptor(NamedTuple):
     sinogram: jax.Array  # (n_angles, W) RING
     tiring: jax.Array    # (n_angles, W) |FFT_row| — translation invariant
