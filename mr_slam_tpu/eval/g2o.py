@@ -123,9 +123,24 @@ def import_g2o(path: str, node_capacity: int | None = None, edge_capacity: int |
         mqs = jnp.asarray(np.stack([x[3] for x in edges]))
         wr = jnp.asarray(np.array([x[4] for x in edges], np.float32))
         wt = jnp.asarray(np.array([x[5] for x in edges], np.float32))
+        # classify kinds from the key codec: consecutive same-robot keys
+        # are odometry, other same-robot pairs intra-robot loops, cross-
+        # robot pairs inter-robot loops (g2o carries no type tag; the
+        # reference reconstructs the same way when reading its dumps)
+        def _kind(ki: int, kj: int) -> int:
+            ri_, ii_ = fg.key_to_robot_id(ki)
+            rj_, ij_ = fg.key_to_robot_id(kj)
+            if ri_ != rj_:
+                return fg.INTER_LOOP
+            return fg.ODOM if abs(ii_ - ij_) == 1 else fg.INTRA_LOOP
+
+        kinds = jnp.asarray(
+            np.array([_kind(x[0], x[1]) for x in edges], np.int32)
+        )
         g = g._replace(
             edge_i=g.edge_i.at[:e].set(ei),
             edge_j=g.edge_j.at[:e].set(ej),
+            edge_kind=g.edge_kind.at[:e].set(kinds),
             edge_meas=Pose(
                 g.edge_meas.R.at[:e].set(so3.quat_to_rot(mqs)),
                 g.edge_meas.t.at[:e].set(mts),

@@ -112,6 +112,41 @@ def radon_mxu(bev: jax.Array, n_angles: int = 120, upsize: int = 256) -> jax.Arr
     return full[:, lo:lo + W]
 
 
+@partial(jax.jit, static_argnames=("size",))
+def radon_backproject(sino: jax.Array, size: int) -> jax.Array:
+    """EXACT adjoint of `radon`, derived by linear transposition: the
+    forward transform is linear in the image, so its transpose (XLA
+    turns the rotate-gather into the corresponding scatter) IS the
+    backprojection — <radon(x), y> == <x, backproject(y)> to float
+    precision, with no separately-maintained smearing kernel.
+
+    Completes the vendored torch-radon API surface
+    (`LoopDetection/torch-radon/src/backprojection.cu`) — RING itself
+    only needs the forward transform, but the reference ships the full
+    operator pair and FBP reconstruction on top of it."""
+    A = sino.shape[0]
+    f = lambda img: radon(img, n_angles=A)
+    (bp,) = jax.linear_transpose(f, jnp.zeros((size, size), sino.dtype))(sino)
+    return bp
+
+
+@partial(jax.jit, static_argnames=("size",))
+def fbp(sino: jax.Array, size: int) -> jax.Array:
+    """Filtered backprojection: Ram-Lak ramp filter along rho (applied
+    in the frequency domain on a 2W zero-padded row to avoid circular
+    wrap), then `radon_backproject`, scaled by pi / n_angles.
+
+    Re-derives `torch-radon`'s FBP pipeline (`torch_radon/__init__.py`
+    ramp filter + backprojection) as batched FFT + interpolation ops."""
+    A, W = sino.shape
+    n = 2 * W
+    freqs = jnp.fft.rfftfreq(n)
+    ramp = 2.0 * jnp.abs(freqs)
+    F = jnp.fft.rfft(sino, n=n, axis=-1)
+    filtered = jnp.fft.irfft(F * ramp, n=n, axis=-1)[:, :W]
+    return radon_backproject(filtered, size) * (jnp.pi / (2.0 * A))
+
+
 class RingDescriptor(NamedTuple):
     sinogram: jax.Array  # (n_angles, W) RING
     tiring: jax.Array    # (n_angles, W) |FFT_row| — translation invariant

@@ -178,6 +178,34 @@ def predict(m: ElevationMap, process_noise: float = 1e-4) -> ElevationMap:
 
 
 @jax.jit
+def motion_update(
+    m: ElevationMap,
+    robot_xy: jax.Array,
+    sigma_z: jax.Array | float = 0.0,
+    sigma_tilt: jax.Array | float = 0.0,
+) -> ElevationMap:
+    """Robot-motion variance update — `RobotMotionMapUpdater.cpp`
+    re-derived: the pose-covariance *increment* since the last update
+    maps onto each cell's height variance as
+
+        dvar(cell) = sigma_z^2 + (r(cell) * sigma_tilt)^2
+
+    where r is the horizontal lever arm from the robot to the cell:
+    vertical drift moves every height equally, roll/pitch drift tilts
+    the map plane so far cells pick up more height uncertainty. Only
+    valid cells are inflated (invalid ones already carry the init
+    variance)."""
+    H, W = m.shape
+    ci = (jnp.arange(H, dtype=jnp.float32) + 0.5) * m.resolution + m.origin[0]
+    cj = (jnp.arange(W, dtype=jnp.float32) + 0.5) * m.resolution + m.origin[1]
+    dx = ci[:, None] - robot_xy[0]
+    dy = cj[None, :] - robot_xy[1]
+    r2 = dx * dx + dy * dy
+    dvar = jnp.square(sigma_z) + r2 * jnp.square(sigma_tilt)
+    return m._replace(variance=jnp.where(m.valid, m.variance + dvar, m.variance))
+
+
+@jax.jit
 def shift(m: ElevationMap, new_center: jax.Array) -> ElevationMap:
     """Recenter the rolling grid on the robot — the ring-buffer shift
     (`G_Clear_map`) as a roll + clear of vacated rows/cols."""

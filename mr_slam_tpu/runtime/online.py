@@ -101,6 +101,22 @@ class OnlineSlam:
 
         m = elevation.shift(rs["gem_local"], pose.t[:2])
         m = elevation.predict(m)
+        # motion-induced variance (RobotMotionMapUpdater): odometry drift
+        # proportional to motion since the last frame, split into a
+        # vertical and a tilt (lever-arm) component
+        last = rs.get("gem_last_pose")
+        if last is not None:
+            dt = float(jnp.linalg.norm(pose.t - last.t))
+            drot = float(
+                jnp.arccos(jnp.clip(
+                    (jnp.trace(last.R.T @ pose.R) - 1.0) / 2.0, -1.0, 1.0
+                ))
+            )
+            m = elevation.motion_update(
+                m, pose.t[:2],
+                sigma_z=0.01 * dt, sigma_tilt=0.01 * drot,
+            )
+        rs["gem_last_pose"] = pose
         world = pcl.transform(scan, pose)
         var = elevation.sensor_variance(scan.xyz)  # beam model, body frame
         rs["gem_local"] = elevation.fuse(m, world, var)

@@ -1,3 +1,5 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,3 +108,84 @@ class TestG2O:
         key = int(line[1])
         r, i = fg.key_to_robot_id(key)
         assert r == 1 and i == 0
+
+    def test_import_reconstructs_edge_kinds(self, tmp_path):
+        """g2o carries no edge-type tag; import classifies from the key
+        codec (consecutive same-robot = odom, else intra/inter loop)."""
+        g = fg.init(8, 8)
+        poses = [se3.identity() for _ in range(4)]
+        robots = [0, 0, 0, 1]
+        for p, r in zip(poses, robots):
+            g, _ = fg.add_node(g, p, jnp.int32(r))
+        ident = se3.identity()
+        for i, j, kind in [(0, 1, fg.ODOM), (0, 2, fg.INTRA_LOOP),
+                           (1, 3, fg.INTER_LOOP)]:
+            g, _ = fg.add_edge(
+                g, jnp.int32(i), jnp.int32(j), ident, jnp.int32(kind),
+                jnp.float32(1.0), jnp.float32(1.0),
+            )
+        path = str(tmp_path / "kinds.g2o")
+        g2o.export_g2o(path, g)
+        g2 = g2o.import_g2o(path)
+        np.testing.assert_array_equal(
+            np.asarray(g2.edge_kind[:3]),
+            [fg.ODOM, fg.INTRA_LOOP, fg.INTER_LOOP],
+        )
+
+
+class TestOfflineG2ORunner:
+    """examples/run_pgo_g2o.py — the run_distributed_mapper.cpp analogue."""
+
+    def _noisy_two_robot_graph(self):
+        rng = np.random.default_rng(3)
+        g = fg.init(32, 64)
+        true = []
+        for r in range(2):
+            for i in range(8):
+                yaw = 0.25 * i + (1.5 if r else 0.0)
+                t = np.array([np.cos(yaw) * 6, np.sin(yaw) * 6, 0.1 * r])
+                true.append(Pose(so3.yaw_rot(jnp.array(yaw)), jnp.asarray(t)))
+        for k, p in enumerate(true):
+            noise = jnp.asarray(rng.normal(0, 0.3, 3)) * (k % 8 != 0)
+            g, _ = fg.add_node(
+                g, Pose(p.R, p.t + noise), jnp.int32(k // 8)
+            )
+        def add(i, j, kind):
+            nonlocal g
+            g, _ = fg.add_edge(
+                g, jnp.int32(i), jnp.int32(j), se3.between(true[i], true[j]),
+                jnp.int32(kind), jnp.float32(10.0), jnp.float32(10.0),
+            )
+        for r in range(2):
+            for i in range(7):
+                add(8 * r + i, 8 * r + i + 1, fg.ODOM)
+        add(2, 10, fg.INTER_LOOP)
+        add(5, 13, fg.INTER_LOOP)
+        return g
+
+    def test_runner_reduces_chi2(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        g = self._noisy_two_robot_graph()
+        inp = str(tmp_path / "in.g2o")
+        outp = str(tmp_path / "out.g2o")
+        g2o.export_g2o(inp, g)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        res = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "..", "examples",
+                          "run_pgo_g2o.py"),
+             inp, outp],
+            capture_output=True, timeout=600, env=env,
+        )
+        assert res.returncode == 0, res.stderr.decode()[-2000:]
+        stats = json.loads(res.stdout.decode().strip().splitlines()[-1])
+        assert stats["nodes"] == 16 and stats["robots"] == 2
+        assert stats["chi2_post"] < 0.1 * stats["chi2_pre"]
+        g3 = g2o.import_g2o(outp)
+        assert int(g3.n_nodes) == 16 and int(g3.n_edges) == 16

@@ -129,6 +129,42 @@ class TestRing:
         d_diff, _ = ring.correlate(a.tiring, c.tiring[None])
         assert float(d_same[0]) < float(d_diff[0])
 
+    def test_fbp_reconstructs_image(self):
+        """Filtered backprojection inverts the forward Radon transform
+        (torch-radon API parity: forward + backprojection + FBP)."""
+        size = 64
+        y, x = np.mgrid[:size, :size]
+        img = (
+            ((x - 22) ** 2 + (y - 30) ** 2 < 81).astype(np.float32)
+            + 0.5 * ((x - 44) ** 2 + (y - 40) ** 2 < 36).astype(np.float32)
+        )
+        # zero outside the inscribed circle: projections only cover it
+        circle = ((x - (size - 1) / 2) ** 2 + (y - (size - 1) / 2) ** 2
+                  < ((size - 1) / 2 - 2) ** 2)
+        img = jnp.asarray(img * circle)
+        sino = ring.radon(img, n_angles=180)
+        rec = ring.fbp(sino, size)
+        rec = rec * circle
+        corr = float(
+            jnp.sum(rec * img)
+            / jnp.maximum(jnp.linalg.norm(rec) * jnp.linalg.norm(img), 1e-9)
+        )
+        assert corr > 0.9, corr
+        # amplitude scale is right too (FBP is quantitative, not just shape)
+        peak_ratio = float(jnp.max(rec) / jnp.max(img))
+        assert 0.6 < peak_ratio < 1.5, peak_ratio
+
+    def test_backproject_is_adjoint(self):
+        """<radon(x), y> == <x, backproject(y)> — the operator pair
+        property torch-radon guarantees between forward/backprojection
+        (exact here: backprojection is the linear transpose)."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(45, 32)).astype(np.float32))
+        lhs = float(jnp.sum(ring.radon(x, n_angles=45) * y))
+        rhs = float(jnp.sum(x * ring.radon_backproject(y, 32)))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
     def test_solve_translation(self):
         pc = scene_cloud()
         dx, dy = 3.0, -2.0

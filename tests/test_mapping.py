@@ -22,6 +22,30 @@ class TestElevation:
         assert len(h) > 100
         np.testing.assert_allclose(h.mean(), 0.5, atol=0.05)
 
+    def test_motion_update_lever_arm(self):
+        """RobotMotionMapUpdater analogue: tilt drift inflates far cells
+        more than near ones; vertical drift inflates all valid cells
+        equally; invalid cells untouched."""
+        m = elevation.init(size=40, resolution=0.2, center=(0, 0))
+        pc = flat_cloud(jax.random.PRNGKey(0), extent=3.5)
+        m = elevation.fuse(m, pc, elevation.sensor_variance(pc.xyz))
+        robot = jnp.zeros(2)
+        m2 = elevation.motion_update(m, robot, sigma_z=0.0, sigma_tilt=0.05)
+        dv = np.asarray(m2.variance - m.variance)
+        valid = np.asarray(m.valid)
+        H, W = m.shape
+        ci = (np.arange(H) + 0.5) * 0.2 + float(m.origin[0])
+        cj = (np.arange(W) + 0.5) * 0.2 + float(m.origin[1])
+        r2 = ci[:, None] ** 2 + cj[None, :] ** 2
+        near = valid & (r2 < 1.0)
+        far = valid & (r2 > 6.0)
+        assert near.any() and far.any()
+        assert dv[far].mean() > 4 * dv[near].mean()
+        assert (dv[~valid] == 0).all()
+        m3 = elevation.motion_update(m, robot, sigma_z=0.1, sigma_tilt=0.0)
+        dz = np.asarray(m3.variance - m.variance)
+        np.testing.assert_allclose(dz[valid], 0.01, rtol=1e-5)
+
     def test_variance_shrinks_with_fusion(self):
         m = elevation.init(size=30, resolution=0.2, center=(0, 0))
         for i in range(5):
