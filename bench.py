@@ -164,6 +164,25 @@ def bench_scaling() -> dict | None:
         return None
 
 
+def bench_multiprocess() -> dict | None:
+    """True N-process jax.distributed scaling (examples/
+    bench_multiprocess.py) — the 1-host-vs-N-hosts measurement; None on
+    failure."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "examples", "bench_multiprocess.py")],
+            env=env, capture_output=True, timeout=1500,
+        )
+        line = out.stdout.decode().strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        return None
+
+
 def main() -> None:
     from mr_slam_tpu.geometry import se3, so3
     from mr_slam_tpu.ops import pointcloud as pcl, registration, voxel_grid
@@ -238,6 +257,9 @@ def main() -> None:
     scaling = bench_scaling()
     if scaling is not None:
         extra["scaling"] = scaling
+    mp = bench_multiprocess()
+    if mp is not None:
+        extra["scaling_multiprocess"] = mp
 
     print(
         json.dumps(

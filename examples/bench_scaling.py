@@ -80,7 +80,11 @@ def main():
                    efficiency_2=round(fps_2 / (2 * fps_1), 3))
     fps_n = fps(n, devs)
     out.update(fps_n=round(fps_n, 2), n=n,
-               efficiency=round(fps_n / (n * fps_1), 3))
+               efficiency=round(fps_n / (n * fps_1), 3),
+               # virtual CPU devices share the host's physical cores;
+               # once n exceeds this, per-device compute is core-starved
+               # and efficiency measures the host, not the sharding
+               cpu_cores=os.cpu_count())
     print(json.dumps(out))
 
 

@@ -69,6 +69,30 @@ def main():
 
     scans = mh.feed_global(local_scans, mesh)
     origins = mh.feed_global(local_origins, mesh)
+
+    if os.environ.get("MRSLAM_BENCH"):
+        # frames/s of the SPMD front-end across processes (includes the
+        # cross-process dispatch/sync cost — the DCN-path number the
+        # BASELINE scaling-efficiency target asks for)
+        import json
+        import time
+
+        out = mh.frontend_spmd(scans, cfg, origins, mesh)  # compile
+        jax.block_until_ready(out)
+        reps = int(os.environ.get("MRSLAM_BENCH_REPS", "3"))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = mh.frontend_spmd(scans, cfg, origins, mesh)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        if jax.process_index() == 0:
+            print(json.dumps(
+                {"bench_fps": round(n_robots * n_frames / dt, 3),
+                 "robots": n_robots, "frames": n_frames,
+                 "processes": jax.process_count()}
+            ), flush=True)
+        return
+
     res = mh.run_multihost(scans, cfg, origins, mesh)
 
     if jax.process_index() == 0 and "MRSLAM_OUT" in os.environ:

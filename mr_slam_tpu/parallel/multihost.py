@@ -117,28 +117,39 @@ def _frontend_vmapped(scans, cfg, origins):
     return jax.vmap(lambda s, o: pl._frontend_fused(s, cfg, o))(scans, origins)
 
 
+_SPMD_CACHE: dict = {}
+
+
 def frontend_spmd(scans, cfg, origins: Pose, mesh: Mesh):
     """Per-robot front-ends SPMD over the robot axis: scans (R, T, P, *)
     robot-sharded, one odometry `lax.scan` per device. Returns
-    (poses (R, T), stores (R, ...), added (R, T)) robot-sharded."""
+    (poses (R, T), stores (R, ...), added (R, T)) robot-sharded.
+
+    The jitted shard_map program is memoized on (cfg, mesh, tree
+    structure) — a fresh `jax.jit` wrapper per call would defeat the
+    trace cache and re-trace every invocation."""
     from ..runtime import pipeline as pl
 
-    spec = lambda tree: jax.tree.map(lambda _: P(ROBOT_AXIS), tree)
+    key = (cfg, mesh, jax.tree.structure((scans, origins)))
+    fn = _SPMD_CACHE.get(key)
+    if fn is None:
+        spec = lambda tree: jax.tree.map(lambda _: P(ROBOT_AXIS), tree)
 
-    def body(scans_blk, origins_blk):
-        return jax.vmap(
-            lambda s, o: pl._frontend_fused.__wrapped__(s, cfg, o)
-        )(scans_blk, origins_blk)
+        def body(scans_blk, origins_blk):
+            return jax.vmap(
+                lambda s, o: pl._frontend_fused.__wrapped__(s, cfg, o)
+            )(scans_blk, origins_blk)
 
-    fn = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(spec(scans), spec(origins)),
-            out_specs=P(ROBOT_AXIS),
-            check_vma=False,
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(spec(scans), spec(origins)),
+                out_specs=P(ROBOT_AXIS),
+                check_vma=False,
+            )
         )
-    )
+        _SPMD_CACHE[key] = fn
     return fn(scans, origins)
 
 

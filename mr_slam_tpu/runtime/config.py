@@ -80,6 +80,23 @@ class ElevationCfg:
 
 
 @dataclass(frozen=True)
+class RobotOverlay:
+    """Per-robot override — the reference's per-robot mechanisms rolled
+    into one typed overlay: FAST-LIO per-robot sensor YAMLs
+    (`FAST_LIO/config/velodyne32_robot1..3.yaml`), per-robot GEM
+    configs, and the OpenCV-FileStorage initial poses `T.initPose`
+    read via `manual_config_dir` (`global_manager.cpp:2469-2506`,
+    `cfg/real/robot_N.yaml`). Unset sections inherit the base config.
+
+    `init_pose`: 16 floats, row-major 4x4 homogeneous transform."""
+    robot: int = 0
+    odometry: OdometryCfg | None = None
+    keyframes: KeyframeCfg | None = None
+    elevation: ElevationCfg | None = None
+    init_pose: tuple[float, ...] | None = None
+
+
+@dataclass(frozen=True)
 class SlamConfig:
     n_robots: int = 1
     odometry: OdometryCfg = field(default_factory=OdometryCfg)
@@ -87,9 +104,39 @@ class SlamConfig:
     loops: LoopCfg = field(default_factory=LoopCfg)
     pgo: PGOCfg = field(default_factory=PGOCfg)
     elevation: ElevationCfg = field(default_factory=ElevationCfg)
+    overlays: tuple[RobotOverlay, ...] = ()
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)
+
+    def for_robot(self, robot: int) -> "SlamConfig":
+        """Resolve per-robot overlays into a plain SlamConfig (still
+        hashable/static). No overlay for `robot` -> self."""
+        for ov in self.overlays:
+            if ov.robot == robot:
+                return dataclasses.replace(
+                    self,
+                    odometry=ov.odometry or self.odometry,
+                    keyframes=ov.keyframes or self.keyframes,
+                    elevation=ov.elevation or self.elevation,
+                    overlays=(),
+                )
+        return self if not self.overlays else dataclasses.replace(
+            self, overlays=()
+        )
+
+    def init_pose(self, robot: int):
+        """Initial pose from the overlay as a geometry Pose, or None
+        (the `readConfigs` T.initPose path)."""
+        for ov in self.overlays:
+            if ov.robot == robot and ov.init_pose is not None:
+                import numpy as np
+
+                from ..geometry.se3 import Pose
+
+                T = np.asarray(ov.init_pose, np.float32).reshape(4, 4)
+                return Pose(T[:3, :3], T[:3, 3])
+        return None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -97,11 +144,26 @@ class SlamConfig:
     @classmethod
     def from_json(cls, text: str) -> "SlamConfig":
         raw = json.loads(text)
+
+        def sub(kind, key):
+            return kind(**raw.get(key) or {}) if raw.get(key) else kind()
+
+        overlays = tuple(
+            RobotOverlay(
+                robot=o.get("robot", 0),
+                odometry=OdometryCfg(**o["odometry"]) if o.get("odometry") else None,
+                keyframes=KeyframeCfg(**o["keyframes"]) if o.get("keyframes") else None,
+                elevation=ElevationCfg(**o["elevation"]) if o.get("elevation") else None,
+                init_pose=tuple(o["init_pose"]) if o.get("init_pose") else None,
+            )
+            for o in raw.get("overlays", [])
+        )
         return cls(
             n_robots=raw.get("n_robots", 1),
-            odometry=OdometryCfg(**raw.get("odometry", {})),
-            keyframes=KeyframeCfg(**raw.get("keyframes", {})),
-            loops=LoopCfg(**raw.get("loops", {})),
-            pgo=PGOCfg(**raw.get("pgo", {})),
-            elevation=ElevationCfg(**raw.get("elevation", {})),
+            odometry=sub(OdometryCfg, "odometry"),
+            keyframes=sub(KeyframeCfg, "keyframes"),
+            loops=sub(LoopCfg, "loops"),
+            pgo=sub(PGOCfg, "pgo"),
+            elevation=sub(ElevationCfg, "elevation"),
+            overlays=overlays,
         )

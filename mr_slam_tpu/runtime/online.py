@@ -48,16 +48,21 @@ class OnlineSlam:
     def register_robot(self, robot: int, origin: Pose | None = None) -> None:
         if robot in self.robots:
             return
+        if origin is None:
+            origin = self.cfg.init_pose(robot)  # overlay T.initPose
+        rcfg = self.cfg.for_robot(robot)
         rs = dict(
-            odo=odometry.init(self.odo_cfg, origin),
-            store=kf.init(self.cfg.keyframes.capacity, self.cfg.keyframes.points_per_kf),
+            odo=odometry.init(pl._odometry_config(rcfg), origin),
+            odo_cfg=pl._odometry_config(rcfg),
+            kf_cfg=rcfg.keyframes,
+            store=kf.init(rcfg.keyframes.capacity, rcfg.keyframes.points_per_kf),
             descs=None,
             frame=0,
         )
         if self.enable_gem:
             from ..mapping import elevation
 
-            e = self.cfg.elevation
+            e = rcfg.elevation
             center = (0.0, 0.0) if origin is None else (
                 float(origin.t[0]), float(origin.t[1])
             )
@@ -77,13 +82,13 @@ class OnlineSlam:
         if robot not in self.robots:
             self.register_robot(robot)
         rs = self.robots[robot]
-        rs["odo"], _ = odometry.step(rs["odo"], scan, self.odo_cfg)
+        rs["odo"], _ = odometry.step(rs["odo"], scan, rs["odo_cfg"])
         pose = rs["odo"].pose
         before = int(rs["store"].count)
         rs["store"], added = kf.maybe_add(
             rs["store"], scan, pose, jnp.float32(stamp),
-            dist_thresh=self.cfg.keyframes.dist_thresh,
-            leaf=self.cfg.keyframes.leaf,
+            dist_thresh=rs["kf_cfg"].dist_thresh,
+            leaf=rs["kf_cfg"].leaf,
         )
         rs["frame"] += 1
         if self.enable_gem:

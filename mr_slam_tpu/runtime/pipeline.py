@@ -454,13 +454,17 @@ def run(
     imus: list[tuple] | None = None,
 ) -> SlamResult:
     """Full multi-robot SLAM: per-robot front-ends, cross/self loop
-    search, verification, PCM, chordal PGO."""
+    search, verification, PCM, chordal PGO.
+
+    Per-robot `cfg.overlays` apply to each robot's front-end; when
+    `origins` is None, overlay `init_pose`s are used (the reference's
+    `manual_config_dir` initial-pose path)."""
     R = len(scans_per_robot)
     robots = []
     for r in range(R):
-        origin = origins[r] if origins else None
+        origin = origins[r] if origins else cfg.init_pose(r)
         imu = imus[r] if imus else None
-        robots.append(run_frontend(scans_per_robot[r], cfg, origin, imu))
+        robots.append(run_frontend(scans_per_robot[r], cfg.for_robot(r), origin, imu))
     return run_backend(robots, cfg)
 
 

@@ -88,3 +88,55 @@ class TestOnline:
         assert os.path.isdir(os.path.join(out, "keyframes", "0_0"))
         tfs = persistence.map_to_odom_transforms(res)
         assert len(tfs) == 1
+
+
+class TestConfigOverlays:
+    """Per-robot overlays — the reference's per-robot YAML configs +
+    manual_config_dir initial poses (`global_manager.cpp:2469-2506`)."""
+
+    def _cfg(self):
+        from mr_slam_tpu.runtime.config import KeyframeCfg, RobotOverlay
+
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [5.0, -2.0, 0.3]
+        return SlamConfig(
+            n_robots=2,
+            overlays=(
+                RobotOverlay(
+                    robot=1,
+                    keyframes=KeyframeCfg(dist_thresh=7.5),
+                    init_pose=tuple(float(x) for x in T.reshape(-1)),
+                ),
+            ),
+        )
+
+    def test_for_robot_resolution(self):
+        cfg = self._cfg()
+        assert cfg.for_robot(0).keyframes.dist_thresh == 2.0
+        assert cfg.for_robot(1).keyframes.dist_thresh == 7.5
+        # resolved configs drop overlays so they hash as static jit args
+        assert cfg.for_robot(1).overlays == ()
+        hash(cfg.for_robot(1))
+
+    def test_init_pose(self):
+        cfg = self._cfg()
+        assert cfg.init_pose(0) is None
+        p = cfg.init_pose(1)
+        np.testing.assert_allclose(np.asarray(p.t), [5.0, -2.0, 0.3])
+        np.testing.assert_allclose(np.asarray(p.R), np.eye(3))
+
+    def test_json_roundtrip(self):
+        cfg = self._cfg()
+        cfg2 = SlamConfig.from_json(cfg.to_json())
+        assert cfg2 == cfg
+
+    def test_online_uses_overlay(self):
+        cfg = self._cfg()
+        sess = online.OnlineSlam(cfg)
+        sess.register_robot(1)
+        # origin came from the overlay init_pose
+        np.testing.assert_allclose(
+            np.asarray(sess.robots[1]["odo"].pose.t), [5.0, -2.0, 0.3],
+            atol=1e-6,
+        )
+        assert sess.robots[1]["kf_cfg"].dist_thresh == 7.5
