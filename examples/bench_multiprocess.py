@@ -54,11 +54,23 @@ def run_config(n_procs: int, frames: int) -> float:
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         ))
     fps = None
-    for p in procs:
-        stdout, _ = p.communicate(timeout=1200)
-        for line in stdout.decode().splitlines():
-            if line.startswith("{") and "bench_fps" in line:
-                fps = json.loads(line)["bench_fps"]
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=1200)
+            text = stdout.decode()
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"worker exited rc={p.returncode}; output tail:\n"
+                    + "\n".join(text.splitlines()[-20:])
+                )
+            for line in text.splitlines():
+                if line.startswith("{") and "bench_fps" in line:
+                    fps = json.loads(line)["bench_fps"]
+    finally:
+        # a timeout/crash must not leak sibling workers
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     if fps is None:
         raise RuntimeError("no bench_fps line from workers")
     return fps

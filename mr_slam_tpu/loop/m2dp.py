@@ -18,6 +18,21 @@ from ..ops import linalg3
 from ..ops.pointcloud import PointCloud
 
 
+def projection_basis(dirs: jax.Array):
+    """Per-view in-plane basis (ex, ey) orthogonal to each view
+    direction. Near-vertical views (dir ~ +-z, where cross(dir, z)
+    degenerates) fall back to cross(dir, x), normalized PER ROW."""
+    ref = jnp.array([0.0, 0.0, 1.0])
+    ex = jnp.cross(dirs, ref)
+    ex_n = jnp.linalg.norm(ex, axis=-1, keepdims=True)
+    alt = jnp.cross(dirs, jnp.array([1.0, 0.0, 0.0]))
+    alt_n = jnp.linalg.norm(alt, axis=-1, keepdims=True)
+    ex = jnp.where(ex_n > 1e-3, ex / jnp.maximum(ex_n, 1e-9),
+                   alt / jnp.maximum(alt_n, 1e-9))
+    ey = jnp.cross(dirs, ex)
+    return ex, ey
+
+
 @partial(jax.jit, static_argnames=("n_azimuth", "n_elevation", "n_rings", "n_sectors"))
 def describe(
     pc: PointCloud,
@@ -47,14 +62,7 @@ def describe(
         axis=-1,
     ).reshape(-1, 3)  # (J, 3)
     J = dirs.shape[0]
-    # projection basis per view: (ex, ey) orthogonal to dir
-    ref = jnp.array([0.0, 0.0, 1.0])
-    ex = jnp.cross(dirs, ref)
-    ex_n = jnp.linalg.norm(ex, axis=-1, keepdims=True)
-    alt = jnp.cross(dirs, jnp.array([1.0, 0.0, 0.0]))
-    ex = jnp.where(ex_n > 1e-3, ex / jnp.maximum(ex_n, 1e-9),
-                   alt / jnp.maximum(jnp.linalg.norm(alt, -1, keepdims=True), 1e-9))
-    ey = jnp.cross(dirs, ex)
+    ex, ey = projection_basis(dirs)
     px = jnp.einsum("jd,nd->jn", ex, pts)  # (J, N)
     py = jnp.einsum("jd,nd->jn", ey, pts)
     r = jnp.sqrt(px**2 + py**2)

@@ -117,7 +117,11 @@ def _frontend_vmapped(scans, cfg, origins):
     return jax.vmap(lambda s, o: pl._frontend_fused(s, cfg, o))(scans, origins)
 
 
-_SPMD_CACHE: dict = {}
+# Bounded LRU of jitted shard_map programs: every distinct (cfg, mesh,
+# tree-structure) triple pins a compiled executable, so an unbounded
+# dict leaks in long-lived processes that sweep configs/meshes.
+_SPMD_CACHE: "dict" = {}
+_SPMD_CACHE_MAX = 16
 
 
 def frontend_spmd(scans, cfg, origins: Pose, mesh: Mesh):
@@ -149,7 +153,11 @@ def frontend_spmd(scans, cfg, origins: Pose, mesh: Mesh):
                 check_vma=False,
             )
         )
+        if len(_SPMD_CACHE) >= _SPMD_CACHE_MAX:
+            _SPMD_CACHE.pop(next(iter(_SPMD_CACHE)))  # evict oldest
         _SPMD_CACHE[key] = fn
+    else:
+        _SPMD_CACHE[key] = _SPMD_CACHE.pop(key)  # refresh LRU order
     return fn(scans, origins)
 
 

@@ -77,6 +77,12 @@ class ElevationCfg:
     size: int = 60                  # 12 m x 12 m @ 0.2 m
     resolution: float = 0.2
     travers_thresh: float = 0.4
+    # motion-induced variance drift (RobotMotionMapUpdater analogue):
+    # per metre travelled / radian rotated since the last fuse, the grid
+    # gains sigma_z = drift_z * d and sigma_tilt = drift_tilt * drot of
+    # height variance. 0 disables the update.
+    drift_z: float = 0.01
+    drift_tilt: float = 0.01
 
 
 @dataclass(frozen=True)

@@ -66,6 +66,7 @@ class OnlineSlam:
             center = (0.0, 0.0) if origin is None else (
                 float(origin.t[0]), float(origin.t[1])
             )
+            rs["gem_cfg"] = e
             rs["gem_local"] = elevation.init(
                 size=e.size, resolution=e.resolution, center=center
             )
@@ -110,7 +111,8 @@ class OnlineSlam:
         # proportional to motion since the last frame, split into a
         # vertical and a tilt (lever-arm) component
         last = rs.get("gem_last_pose")
-        if last is not None:
+        e = rs.get("gem_cfg", self.cfg.elevation)
+        if last is not None and (e.drift_z > 0.0 or e.drift_tilt > 0.0):
             dt = float(jnp.linalg.norm(pose.t - last.t))
             drot = float(
                 jnp.arccos(jnp.clip(
@@ -119,7 +121,7 @@ class OnlineSlam:
             )
             m = elevation.motion_update(
                 m, pose.t[:2],
-                sigma_z=0.01 * dt, sigma_tilt=0.01 * drot,
+                sigma_z=e.drift_z * dt, sigma_tilt=e.drift_tilt * drot,
             )
         rs["gem_last_pose"] = pose
         world = pcl.transform(scan, pose)
@@ -181,7 +183,9 @@ class OnlineSlam:
         # re-describing all K slots
         one = pl.describe_one(rs["store"].cloud(k), self.cfg)
         if rs["descs"] is None:
-            K = self.cfg.keyframes.capacity
+            # sized with the RESOLVED per-robot capacity: an overlay may
+            # grow the keyframe store past the base config's capacity
+            K = rs["kf_cfg"].capacity
             rs["descs"] = jax.tree.map(
                 lambda a: jnp.zeros((K,) + a.shape, a.dtype), one
             )
@@ -205,6 +209,13 @@ class OnlineSlam:
         cfg = self.cfg
         new_loops = []
         pending, self._pending_kf = self._pending_kf, []
+        # each unordered keyframe pair is verified at most once per
+        # session, even when BOTH ends are pending this round (the batch
+        # pipeline gets this for free from its rb <= ra sweep)
+        searched = {
+            frozenset(((l["robot_a"], l["kf_a"]), (l["robot_b"], l["kf_b"])))
+            for l in self.loops
+        }
         for ra, ia in pending:
             descs_a = self._descriptors(ra)
             for rb in self.robots:
@@ -241,6 +252,10 @@ class OnlineSlam:
                     )
                     if not (desc_ok or odom_ok):
                         continue
+                    pair = frozenset(((ra, ia), (rb, int(ib))))
+                    if pair in searched:
+                        continue
+                    searched.add(pair)
                     accept, rel, fit = pl._verify_loop(
                         self.robots[ra]["store"], ia,
                         self.robots[rb]["store"], int(ib),

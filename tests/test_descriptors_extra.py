@@ -80,3 +80,30 @@ class TestRingPP:
         d_same, _ = ring.correlate_multichannel(a.tirings, b.tirings[None])
         d_diff, _ = ring.correlate_multichannel(a.tirings, c.tirings[None])
         assert float(d_same[0]) < float(d_diff[0])
+
+
+class TestM2DPBasis:
+    def test_degenerate_view_basis_is_orthonormal(self):
+        """Near-vertical view dirs hit the cross(dir, z) degeneracy; the
+        fallback must normalize PER ROW (regression: `ord=-1` was being
+        passed where `axis=-1` was meant, dividing by a scalar matrix
+        norm)."""
+        from mr_slam_tpu.loop import m2dp
+
+        dirs = jnp.array([
+            [0.0, 0.0, 1.0],              # exactly vertical
+            [1e-4, 0.0, 1.0],             # near-vertical (unnormalized ok)
+            [0.0, 0.0, -1.0],             # down
+            [1.0, 0.0, 0.0],              # regular
+            [0.3, -0.4, 0.86],            # generic
+        ])
+        ex, ey = m2dp.projection_basis(dirs)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(ex), axis=-1), 1.0, atol=1e-5
+        )
+        # ex orthogonal to its view direction
+        dots = np.abs(np.sum(np.asarray(ex) * np.asarray(dirs), axis=-1))
+        assert (dots < 1e-5 * np.linalg.norm(np.asarray(dirs), axis=-1)).all()
+        # ey = dir x ex is orthogonal to both
+        dots_y = np.abs(np.sum(np.asarray(ey) * np.asarray(ex), axis=-1))
+        assert (dots_y < 1e-5).all()

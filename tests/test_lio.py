@@ -168,3 +168,46 @@ class TestLioPipeline:
             f"gyro bias not estimated: |bg-true|={bg_err:.4f} "
             f"(|true|={bg_err0:.4f}, bg={np.asarray(state.bg)})"
         )
+
+
+class TestGravityMisinit:
+    """The filter freezes gravity after init (no S2 refinement, unlike
+    IKFoM — `lio.py` design note). These tests document the failure
+    envelope: small init tilt is absorbed by the map update; large tilt
+    degrades tracking measurably. If gravity refinement lands later,
+    the large-tilt bound below should tighten."""
+
+    def _run(self, tilt_rad: float) -> float:
+        world = synthetic.default_world(3)
+        n = 12
+        traj = synthetic.circle_trajectory(n, radius=25.0, laps=0.04)
+        gyro, acc, dts = synthetic.imu_for_trajectory(traj, frame_dt=0.1, n_sub=10)
+        config = lio.LioConfig(table_size=1 << 16, scan_capacity=4096, iters=4)
+        state = lio.init(config, se3.index(traj, 0))
+        state = state._replace(v=(traj.t[1] - traj.t[0]) / 0.1)
+        # tilt the frozen gravity estimate about x
+        Rt = so3.exp(jnp.array([tilt_rad, 0.0, 0.0]))
+        state = state._replace(grav=Rt @ state.grav)
+        keys = jax.random.split(jax.random.PRNGKey(1), n)
+        for i in range(n - 1):
+            xyz, _, hit = synthetic.scan(
+                world, se3.index(traj, i + 1), n_rings=16, n_azimuth=512,
+                key=keys[i],
+            )
+            scan = synthetic.scan_to_cloud(xyz, hit)
+            pt_time = jnp.full((scan.xyz.shape[0],), 0.0999)
+            imu = lio.ImuSample(gyro=gyro[i], acc=acc[i], dt=dts[i])
+            state, _ = lio.step(state, scan, pt_time, imu, config)
+        return float(jnp.linalg.norm(state.p - traj.t[n - 1]))
+
+    def test_small_tilt_absorbed(self):
+        drift = self._run(jnp.deg2rad(2.0))
+        assert drift < 1.0, f"2 deg gravity tilt should track: {drift:.3f} m"
+
+    def test_large_tilt_degrades(self):
+        """15 deg of gravity error cannot be corrected (gravity is not a
+        state) — tracking degrades vs the small-tilt case. Documents the
+        envelope rather than hiding it."""
+        small = self._run(jnp.deg2rad(2.0))
+        large = self._run(jnp.deg2rad(15.0))
+        assert large > small, (small, large)
