@@ -128,6 +128,64 @@ def add_edge(
     return g2, idx
 
 
+def add_nodes_batch(g: FactorGraph, poses: Pose, robots: jax.Array):
+    """Append a BATCH of nodes with one scatter (the vectorized
+    `readFullGraph` build — no per-node dispatch). Overflowing entries
+    are dropped (indices >= capacity scatter with mode='drop'); the
+    caller sees them as returned indices >= node_capacity.
+
+    Returns (graph, idx (B,))."""
+    B = robots.shape[0]
+    idx = g.n_nodes + jnp.arange(B, dtype=jnp.int32)
+    wrote = jnp.minimum(jnp.maximum(g.node_capacity - g.n_nodes, 0), B)
+    g2 = g._replace(
+        poses=Pose(
+            g.poses.R.at[idx].set(poses.R, mode="drop"),
+            g.poses.t.at[idx].set(poses.t, mode="drop"),
+        ),
+        node_robot=g.node_robot.at[idx].set(robots, mode="drop"),
+        node_valid=g.node_valid.at[idx].set(True, mode="drop"),
+        n_nodes=g.n_nodes + wrote.astype(jnp.int32),
+    )
+    return g2, idx
+
+
+def add_edges_batch(
+    g: FactorGraph,
+    i: jax.Array,
+    j: jax.Array,
+    meas: Pose,
+    kind: jax.Array,
+    w_rot: jax.Array,
+    w_trans: jax.Array,
+):
+    """Append a BATCH of edges with one scatter. Scalar kind/weights
+    broadcast. Overflowing entries are dropped. Returns (graph,
+    idx (B,))."""
+    B = i.shape[0]
+    bc = lambda x: jnp.broadcast_to(jnp.asarray(x), (B,))
+    idx = g.n_edges + jnp.arange(B, dtype=jnp.int32)
+    wrote = jnp.minimum(jnp.maximum(g.edge_capacity - g.n_edges, 0), B)
+    g2 = g._replace(
+        edge_i=g.edge_i.at[idx].set(i, mode="drop"),
+        edge_j=g.edge_j.at[idx].set(j, mode="drop"),
+        edge_meas=Pose(
+            g.edge_meas.R.at[idx].set(meas.R, mode="drop"),
+            g.edge_meas.t.at[idx].set(meas.t, mode="drop"),
+        ),
+        edge_kind=g.edge_kind.at[idx].set(bc(kind), mode="drop"),
+        edge_w_rot=g.edge_w_rot.at[idx].set(
+            bc(w_rot).astype(jnp.float32), mode="drop"
+        ),
+        edge_w_trans=g.edge_w_trans.at[idx].set(
+            bc(w_trans).astype(jnp.float32), mode="drop"
+        ),
+        edge_valid=g.edge_valid.at[idx].set(True, mode="drop"),
+        n_edges=g.n_edges + wrote.astype(jnp.int32),
+    )
+    return g2, idx
+
+
 def robot_id_to_key(robot: int, index: int) -> int:
     """gtsam-compatible key: char('a' + robot) << 56 | index
     (`global_manager.cpp:2587-2596`; mirrored in `RING_ros/util.py:

@@ -223,3 +223,32 @@ def perturb_trajectory(key, traj: Pose, trans_sigma=0.02, rot_sigma=0.002) -> Po
         jnp.concatenate([traj.R[:1], drifted.R], axis=0),
         jnp.concatenate([traj.t[:1], drifted.t], axis=0),
     )
+
+
+def shear_scan(
+    cloud: PointCloud, delta: Pose, scan_period: float = 0.1
+) -> tuple[PointCloud, jax.Array]:
+    """Simulate a SPINNING-lidar sweep recorded while the sensor moves.
+
+    `cloud` is an instantaneous scan in the sweep-START body frame;
+    `delta` the sensor motion over the sweep (pose of sweep end in
+    sweep start). Each point, stamped by its azimuth angle (one
+    revolution per sweep, like a mechanical lidar), is re-expressed in
+    the sensor frame at its capture time:
+
+        p_rec = R_s^T (p_start - t_s),  (R_s, t_s) = slerp(I->delta, s)
+
+    — the exact inverse of `preprocess.undistort_constant_velocity`, so
+    round-tripping with the true delta reconstructs `cloud`. Returns
+    (sheared cloud, t_rel (N,) sweep-relative capture times). Real
+    spinning-lidar data is distorted exactly this way; synthetic scans
+    are instantaneous, which is why undistortion bugs are invisible
+    without this helper (VERDICT r2 Missing #5)."""
+    phi = jnp.mod(jnp.arctan2(cloud.xyz[:, 1], cloud.xyz[:, 0]), 2 * jnp.pi)
+    t_rel = scan_period * phi / (2 * jnp.pi)
+    s = t_rel / scan_period
+    w = so3.log(delta.R)
+    R_s = so3.exp(s[:, None] * w)
+    t_s = s[:, None] * delta.t
+    rec = jnp.einsum("nji,nj->ni", R_s, cloud.xyz - t_s)
+    return park(PointCloud(rec, cloud.mask)), t_rel

@@ -25,6 +25,7 @@ from ..geometry import se3
 from ..geometry.se3 import Pose
 from ..ops import pointcloud as pcl
 from ..ops import registration, voxel_grid
+from ..precision import accurate
 
 
 class OdometryConfig(NamedTuple):
@@ -64,17 +65,37 @@ def init(config: OdometryConfig, origin: Pose | None = None) -> OdometryState:
     )
 
 
-@partial(jax.jit, static_argnames=("config",))
-def step(state: OdometryState, scan: pcl.PointCloud, config: OdometryConfig):
+@accurate
+@partial(jax.jit, static_argnames=("config", "scan_period"))
+def step(
+    state: OdometryState,
+    scan: pcl.PointCloud,
+    config: OdometryConfig,
+    t_rel: jax.Array | None = None,
+    scan_period: float = 0.1,
+):
     """Process one lidar frame (body-frame cloud). Returns
-    (new_state, diagnostics dict)."""
+    (new_state, diagnostics dict).
+
+    `t_rel`: optional (N,) per-point capture times relative to sweep
+    start (from `preprocess.to_range_image` / the loaders). When given,
+    the scan is motion-compensated to the sweep-start frame with the
+    constant-velocity prediction BEFORE registration — A-LOAM's
+    `TransformToStart` (`laserOdometry.cpp:112-123`). Without it the
+    scan is treated as instantaneous (synthetic data)."""
+    # Constant-velocity prediction: pose * (prev^-1 * pose)
+    motion = se3.between(state.prev_pose, state.pose)
+    pred = se3.compose(state.pose, motion)
+    if t_rel is not None:
+        from . import preprocess
+
+        scan = preprocess.undistort_constant_velocity(
+            scan, t_rel, motion, scan_period
+        )
     ds = pcl.voxel_downsample(
         scan, config.scan_leaf, config.scan_capacity,
         bounds=((-150.0, -150.0, -150.0), (150.0, 150.0, 150.0)),
     )
-    # Constant-velocity prediction: pose * (prev^-1 * pose)
-    motion = se3.between(state.prev_pose, state.pose)
-    pred = se3.compose(state.pose, motion)
 
     def register(_):
         # Coarse stage: 4x-leaf grid with direct27 probes gives a wide
@@ -127,6 +148,7 @@ def step(state: OdometryState, scan: pcl.PointCloud, config: OdometryConfig):
     return new_state, diag
 
 
+@accurate
 @partial(jax.jit, static_argnames=("config",))
 def run(scans: pcl.PointCloud, config: OdometryConfig, origin: Pose | None = None):
     """Offline batch odometry: scans is a stacked (T, N, 3)/(T, N) cloud

@@ -6,9 +6,18 @@ check busy-loop, composing @3 Hz, TF @10 Hz — `global_manager_node.cpp:
 45-50`). The TPU runtime replaces that with ONE deterministic scheduler:
 `add_frame` ticks odometry (jitted, fixed shapes) and gates keyframes;
 every `loop_every` new keyframes the session runs the loop stage
-(retrieval -> verification -> PCM -> incremental PGO). No locks, no
-races — state transitions are explicit and replayable (the §5.2 story:
-races disappear by construction).
+(batched retrieval -> batched verification -> PCM -> incremental PGO).
+No locks, no races — state transitions are explicit and replayable
+(the §5.2 story: races disappear by construction).
+
+Backing state is the batched `parallel.store.MultiRobotStore` — ONE
+robot-major pytree holding every robot's keyframe clouds, poses and
+structured descriptor database (the array-native `RobotHandle` vector,
+`global_manager.h:108-137`). Keyframe appends and descriptor writes are
+single-dispatch scatters (`gate_and_add`/`write_descriptor`, the
+`mapUpdate`/`discoUpdate` pair); the whole session state is a pytree +
+small manifest, which is what makes `runtime.checkpoint.save_session`
+a plain array dump.
 
 Robots register lazily (`register_robot`), mirroring topic discovery;
 a robot can join mid-session.
@@ -22,11 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..backend import chordal, factor_graph as fg
-from ..frontend import keyframes as kf
 from ..frontend import odometry
 from ..geometry import se3
 from ..geometry.se3 import Pose
 from ..ops import pointcloud as pcl
+from ..parallel import store as mstore_lib
 from . import pipeline as pl
 from .config import SlamConfig
 
@@ -35,7 +44,9 @@ class OnlineSlam:
     def __init__(self, cfg: SlamConfig, enable_gem: bool = False):
         self.cfg = cfg
         self.odo_cfg = pl._odometry_config(cfg)
-        self.robots: dict[int, dict] = {}
+        self.robots: dict[int, dict] = {}    # per-robot odometry/GEM state
+        self.rows: dict[int, int] = {}       # robot id -> mstore row
+        self.mstore: Optional[mstore_lib.MultiRobotStore] = None
         self.graph = fg.init(cfg.pgo.node_capacity, cfg.pgo.edge_capacity)
         self.node_of: dict[tuple[int, int], int] = {}
         self.loops: list[dict] = []
@@ -43,6 +54,67 @@ class OnlineSlam:
         self.opt_poses: Optional[Pose] = None
         self.loop_every = 3  # keyframes between loop-stage runs
         self.enable_gem = enable_gem  # per-robot rolling elevation maps
+
+    # -- batched-store plumbing ----------------------------------------
+    def _kf_capacity(self) -> int:
+        """Uniform store capacity: the max resolved per-robot keyframe
+        capacity (overlays may grow it — rows of smaller robots carry
+        padding, the per-robot gate still uses their own threshold)."""
+        caps = [self.cfg.keyframes.capacity] + [
+            ov.keyframes.capacity
+            for ov in self.cfg.overlays
+            if ov.keyframes is not None
+        ]
+        return max(caps)
+
+    def _points_per_kf(self) -> int:
+        pts = [self.cfg.keyframes.points_per_kf] + [
+            ov.keyframes.points_per_kf
+            for ov in self.cfg.overlays
+            if ov.keyframes is not None
+        ]
+        return max(pts)
+
+    def _ensure_row(self, robot: int) -> int:
+        """Allocate (or grow) the batched store row for `robot`."""
+        if robot in self.rows:
+            return self.rows[robot]
+        if self.mstore is None:
+            # descriptor layout comes from one template describe_one on
+            # an empty cloud (shapes are data-independent)
+            P = self._points_per_kf()
+            dummy = pcl.park(
+                pcl.PointCloud(jnp.zeros((P, 3)), jnp.zeros((P,), bool))
+            )
+            template = pl.describe_one(dummy, self.cfg)
+            self.mstore = mstore_lib.init(
+                1, self._kf_capacity(), P, desc_template=template
+            )
+            self.rows[robot] = 0
+            return 0
+        # grow by one row (host-side realloc; rare — robot discovery)
+        self.mstore = jax.tree.map(
+            lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])]), self.mstore
+        )
+        # fresh KeyframeStore rows need their sentinel/identity fields
+        single = jax.tree.map(
+            lambda a: a[0],
+            mstore_lib.init(
+                1, self._kf_capacity(), self._points_per_kf(), desc_dim=0
+            ).stores,
+        )
+        row = self.mstore.desc_valid.shape[0] - 1
+        self.mstore = self.mstore._replace(
+            stores=jax.tree.map(
+                lambda b, s: b.at[row].set(s), self.mstore.stores, single
+            )
+        )
+        self.rows[robot] = row
+        return row
+
+    def store_view(self, robot: int):
+        """This robot's (KeyframeStore, descriptor-tree) view."""
+        return self.mstore.robot_view(self.rows[robot])
 
     # -- discovery ------------------------------------------------------
     def register_robot(self, robot: int, origin: Pose | None = None) -> None:
@@ -55,8 +127,6 @@ class OnlineSlam:
             odo=odometry.init(pl._odometry_config(rcfg), origin),
             odo_cfg=pl._odometry_config(rcfg),
             kf_cfg=rcfg.keyframes,
-            store=kf.init(rcfg.keyframes.capacity, rcfg.keyframes.points_per_kf),
-            descs=None,
             frame=0,
         )
         if self.enable_gem:
@@ -75,27 +145,51 @@ class OnlineSlam:
             # keyframe boundary (`ElevationMapping.cpp:653-760`)
             rs["gem_flushed"] = []
         self.robots[robot] = rs
+        self._ensure_row(robot)
 
     # -- per-frame tick -------------------------------------------------
-    def add_frame(self, robot: int, scan: pcl.PointCloud, stamp: float = 0.0) -> Pose:
+    def add_frame(
+        self,
+        robot: int,
+        scan: pcl.PointCloud,
+        stamp: float = 0.0,
+        times=None,
+    ) -> Pose:
         """Odometry tick + keyframe gate. Returns the current odometry
-        pose estimate for `robot`."""
+        pose estimate for `robot`. `times`: optional (P,) per-point
+        sweep-relative capture times — enables constant-velocity
+        undistortion in the odometry step."""
+        from . import observability as obs
+
         if robot not in self.robots:
             self.register_robot(robot)
         rs = self.robots[robot]
-        rs["odo"], _ = odometry.step(rs["odo"], scan, rs["odo_cfg"])
-        pose = rs["odo"].pose
-        before = int(rs["store"].count)
-        rs["store"], added = kf.maybe_add(
-            rs["store"], scan, pose, jnp.float32(stamp),
-            dist_thresh=rs["kf_cfg"].dist_thresh,
-            leaf=rs["kf_cfg"].leaf,
-        )
+        row = self.rows[robot]
+        with obs.tracer.span("online.frontend"):
+            rs["odo"], _ = odometry.step(
+                rs["odo"], scan, rs["odo_cfg"], t_rel=times
+            )
+            pose = rs["odo"].pose
+            self.mstore, added, k = mstore_lib.gate_and_add(
+                self.mstore, jnp.int32(row), scan, pose, jnp.float32(stamp),
+                dist_thresh=rs["kf_cfg"].dist_thresh, leaf=rs["kf_cfg"].leaf,
+            )
+            added = bool(added)
         rs["frame"] += 1
+        if not added and int(self.mstore.stores.count[row]) >= self._kf_capacity():
+            import warnings
+
+            obs.metrics.inc("keyframes.capacity_saturated")
+            if obs.metrics.counters["keyframes.capacity_saturated"] == 1:
+                warnings.warn(
+                    "keyframe store full; further keyframes are dropped — "
+                    "raise KeyframeCfg.capacity"
+                )
         if self.enable_gem:
-            self._gem_tick(rs, scan, pose)
-        if bool(added):
-            self._on_keyframe(robot, before)
+            with obs.tracer.span("online.gem"):
+                self._gem_tick(rs, scan, pose)
+        if added:
+            self._on_keyframe(robot, int(k))
         return pose
 
     # -- per-robot rolling GEM -------------------------------------------
@@ -151,6 +245,7 @@ class OnlineSlam:
         e = self.cfg.elevation
         emap = elevation.init(size=size, resolution=e.resolution, center=center)
         for robot, rs in self.robots.items():
+            store, _ = self.store_view(robot)
             for k, body in rs.get("gem_flushed", []):
                 node = self.node_of.get((robot, k))
                 if node is None:
@@ -158,129 +253,131 @@ class OnlineSlam:
                 if self.opt_poses is not None:
                     pose = se3.index(self.opt_poses, node)
                 else:
-                    pose = se3.index(rs["store"].poses, k)
+                    pose = se3.index(store.poses, k)
                 world = pcl.transform(body, pose)
                 var = elevation.sensor_variance(body.xyz)
                 emap = elevation.fuse(emap, world, var)
         return emap
 
     def _on_keyframe(self, robot: int, k: int) -> None:
+        from . import observability as obs
+
         rs = self.robots[robot]
-        pose = se3.index(rs["store"].poses, k)
+        row = self.rows[robot]
+        pose = se3.index(
+            jax.tree.map(lambda a: a[row], self.mstore.stores.poses), k
+        )
         if self.enable_gem:
             self._gem_flush(rs, k, pose)
         self.graph, idx = fg.add_node(self.graph, pose, jnp.int32(robot))
+        if int(self.graph.n_nodes) >= self.graph.node_capacity:
+            import warnings
+
+            obs.metrics.inc("graph.node_capacity_saturated")
+            warnings.warn(
+                "pose-graph node capacity reached; further keyframes "
+                "cannot enter the graph — raise PGOCfg.node_capacity"
+            )
         self.node_of[(robot, k)] = int(idx)
         if k > 0:
             prev = self.node_of[(robot, k - 1)]
-            meas = se3.between(se3.index(rs["store"].poses, k - 1), pose)
+            prev_pose = se3.index(
+                jax.tree.map(lambda a: a[row], self.mstore.stores.poses), k - 1
+            )
+            meas = se3.between(prev_pose, pose)
             self.graph, _ = fg.add_edge(
                 self.graph, jnp.int32(prev), jnp.int32(int(idx)), meas,
                 jnp.int32(fg.ODOM), jnp.float32(1.0), jnp.float32(1.0),
             )
         # incremental descriptor append — O(1) new work per keyframe,
-        # like `discoUpdate` (`global_manager.cpp:1867-1888`), instead of
-        # re-describing all K slots
-        one = pl.describe_one(rs["store"].cloud(k), self.cfg)
-        if rs["descs"] is None:
-            # sized with the RESOLVED per-robot capacity: an overlay may
-            # grow the keyframe store past the base config's capacity
-            K = rs["kf_cfg"].capacity
-            rs["descs"] = jax.tree.map(
-                lambda a: jnp.zeros((K,) + a.shape, a.dtype), one
-            )
-        rs["descs"] = jax.tree.map(
-            lambda buf, v: buf.at[k].set(v), rs["descs"], one
+        # like `discoUpdate` (`global_manager.cpp:1867-1888`), straight
+        # into the batched store
+        store, _ = self.store_view(robot)
+        one = pl.describe_one(store.cloud(k), self.cfg)
+        self.mstore = mstore_lib.write_descriptor(
+            self.mstore, jnp.int32(row), jnp.int32(k), one
         )
         self._pending_kf.append((robot, k))
         if len(self._pending_kf) >= self.loop_every:
             self.run_loop_stage()
 
     # -- loop stage -----------------------------------------------------
-    def _descriptors(self, robot: int):
-        rs = self.robots[robot]
-        if rs["descs"] is None:
-            rs["descs"] = pl.compute_descriptors(rs["store"], self.cfg)
-        return rs["descs"]
-
     def run_loop_stage(self) -> int:
         """Detect + verify loops for pending keyframes; optimize when
-        any loop lands. Returns number of accepted loops this round."""
+        any loop lands. Returns number of accepted loops this round.
+
+        Batched: per (pending-robot, database-robot) pair this issues
+        ONE retrieval dispatch and O(candidates / CHUNK) verification
+        dispatches (`runtime/loopstage.py`), not one per keyframe."""
+        from . import loopstage
+        from . import observability as obs
+
         cfg = self.cfg
         new_loops = []
         pending, self._pending_kf = self._pending_kf, []
         # each unordered keyframe pair is verified at most once per
         # session, even when BOTH ends are pending this round (the batch
-        # pipeline gets this for free from its rb <= ra sweep)
+        # pipeline gets this for free from its rb <= ra sweep). Same-
+        # robot pairs are additionally deduped by loopstage's strict
+        # lower-triangle retrieval mask.
         searched = {
             frozenset(((l["robot_a"], l["kf_a"]), (l["robot_b"], l["kf_b"])))
             for l in self.loops
         }
+        by_robot: dict[int, list[int]] = {}
         for ra, ia in pending:
-            descs_a = self._descriptors(ra)
+            by_robot.setdefault(ra, []).append(ia)
+        for ra, ias in by_robot.items():
+            store_a, descs_a = self.store_view(ra)
+            # fixed-length query batch -> one compiled retrieval program
+            # per (pair, batch-size) instead of one dispatch per query
+            Q = max(self.loop_every, len(ias))
+            qi = np.full((Q,), -1, np.int64)
+            qi[: len(ias)] = ias
             for rb in self.robots:
-                Kb = int(self.robots[rb]["store"].count)
-                if Kb == 0:
+                store_b, descs_b = self.store_view(rb)
+                if int(store_b.count) == 0:
                     continue
-                d, yaw = pl._descriptor_distances(descs_a, ia, self._descriptors(rb), cfg)
-                d = np.array(d[:Kb])
-                yaw_np = np.array(yaw[:Kb])
-                if ra == rb:
-                    lo = max(0, ia - cfg.loops.min_separation)
-                    hi = min(Kb, ia + cfg.loops.min_separation + 1)
-                    d[lo:hi] = np.inf
-                order = list(np.argsort(d)[: cfg.loops.candidates])
-                if ra == rb:
-                    # odometry-space radius path (`global_manager.cpp:
-                    # 1029-1094`) joins the candidate set
-                    for j in pl.odom_space_candidates(
-                        self.robots[ra]["store"], ia, cfg
-                    ):
-                        if j not in order:
-                            order.append(j)
-                for ib in order:
-                    desc_ok = (
-                        np.isfinite(d[ib]) and d[ib] <= cfg.loops.dist_thresh
-                    )
-                    odom_ok = (
-                        ra == rb and cfg.loops.odom_radius > 0.0
-                        and abs(ia - int(ib)) > cfg.loops.min_separation
-                        and float(jnp.linalg.norm(
-                            self.robots[ra]["store"].poses.t[ia]
-                            - self.robots[rb]["store"].poses.t[int(ib)]
-                        )) < cfg.loops.odom_radius
-                    )
-                    if not (desc_ok or odom_ok):
-                        continue
-                    pair = frozenset(((ra, ia), (rb, int(ib))))
+                exclude = {
+                    (a_kf, b_kf)
+                    for pair in searched
+                    for (r1, a_kf) in pair
+                    for (r2, b_kf) in pair
+                    if r1 == ra and r2 == rb
+                }
+                found = loopstage.search_pair_loops(
+                    store_a, descs_a, store_b, descs_b, cfg,
+                    same_robot=(ra == rb), query_idx=qi, exclude=exclude,
+                )
+                for l in found:
+                    pair = frozenset(((ra, l["kf_a"]), (rb, l["kf_b"])))
                     if pair in searched:
                         continue
                     searched.add(pair)
-                    accept, rel, fit = pl._verify_loop(
-                        self.robots[ra]["store"], ia,
-                        self.robots[rb]["store"], int(ib),
-                        float(yaw_np[ib]), cfg, same_robot=(ra == rb),
-                        descs_a=descs_a, descs_b=self._descriptors(rb),
+                    new_loops.append(
+                        dict(robot_a=ra, kf_a=l["kf_a"], robot_b=rb,
+                             kf_b=l["kf_b"], rel=l["rel"],
+                             fitness=l["fitness"], desc_dist=l["desc_dist"])
                     )
-                    if accept:
-                        new_loops.append(
-                            dict(robot_a=ra, kf_a=ia, robot_b=rb, kf_b=int(ib),
-                                 rel=rel, fitness=fit, desc_dist=float(d[ib]))
-                        )
         if not new_loops:
             return 0
         # PCM over ALL inter-robot loops (old + new), re-gated per robot
         # pair on every optimization round (`distributed_pcm.cpp:53-58`)
         inter = [l for l in self.loops + new_loops if l["robot_a"] != l["robot_b"]]
         intra = [l for l in self.loops + new_loops if l["robot_a"] == l["robot_b"]]
-        inter = pl.pcm_gate_inter_loops(
-            inter,
-            lambda r, k: se3.index(self.robots[r]["store"].poses, k),
-            cfg,
-        )
-        self.loops = intra + inter
+
+        def pose_of(r, k):
+            store, _ = self.store_view(r)
+            return se3.index(store.poses, k)
+
+        with obs.tracer.span("online.pcm"):
+            kept = pl.pcm_gate_inter_loops(inter, pose_of, cfg)
+        obs.metrics.inc("online.pcm_rejected", len(inter) - len(kept))
+        self.loops = intra + kept
         self._rebuild_loop_edges()
-        self.optimize()
+        with obs.tracer.span("online.solve"):
+            self.optimize()
+            jax.block_until_ready(self.opt_poses.t)
         return len(new_loops)
 
     def _rebuild_loop_edges(self) -> None:
@@ -302,15 +399,30 @@ class OnlineSlam:
             edge_valid=jnp.asarray(np.sort(valid)[::-1].copy()),
             n_edges=jnp.int32(n_odom),
         )
-        for l in self.loops:
-            i = self.node_of[(l["robot_a"], l["kf_a"])]
-            j = self.node_of[(l["robot_b"], l["kf_b"])]
-            kind = fg.INTRA_LOOP if l["robot_a"] == l["robot_b"] else fg.INTER_LOOP
-            self.graph, _ = fg.add_edge(
-                self.graph, jnp.int32(i), jnp.int32(j), se3.inverse(l["rel"]),
-                jnp.int32(kind), jnp.float32(self.cfg.loops.w_rot),
-                jnp.float32(self.cfg.loops.w_trans),
-            )
+        if not self.loops:
+            return
+        # one batched scatter for all loop edges
+        ei = jnp.asarray(
+            [self.node_of[(l["robot_a"], l["kf_a"])] for l in self.loops],
+            jnp.int32,
+        )
+        ej = jnp.asarray(
+            [self.node_of[(l["robot_b"], l["kf_b"])] for l in self.loops],
+            jnp.int32,
+        )
+        kinds = jnp.asarray(
+            [
+                fg.INTRA_LOOP if l["robot_a"] == l["robot_b"] else fg.INTER_LOOP
+                for l in self.loops
+            ],
+            jnp.int32,
+        )
+        meas = se3.inverse(se3.stack([l["rel"] for l in self.loops]))
+        self.graph, _ = fg.add_edges_batch(
+            self.graph, ei, ej, meas, kinds,
+            jnp.full((len(self.loops),), self.cfg.loops.w_rot, jnp.float32),
+            jnp.full((len(self.loops),), self.cfg.loops.w_trans, jnp.float32),
+        )
 
     def optimize(self) -> None:
         anchors = np.zeros(self.graph.node_capacity, bool)
@@ -333,17 +445,21 @@ class OnlineSlam:
             self.run_loop_stage()  # flush tail keyframes (the revisits!)
         robots = []
         ids = sorted(self.robots)
-        max_k = max((int(self.robots[r]["store"].count) for r in ids), default=0)
+        counts = {
+            r: int(self.mstore.stores.count[self.rows[r]]) for r in ids
+        }
+        max_k = max(counts.values(), default=0)
         node_of = -np.ones((len(ids), max(max_k, 1)), np.int64)
         for ri, r in enumerate(ids):
             rs = self.robots[r]
+            store, _ = self.store_view(r)
             robots.append(
                 pl.RobotResult(
-                    odom_poses=rs["odo"].pose, store=rs["store"],
-                    kf_frame_idx=np.arange(int(rs["store"].count)),
+                    odom_poses=rs["odo"].pose, store=store,
+                    kf_frame_idx=np.arange(counts[r]),
                 )
             )
-            for k in range(int(rs["store"].count)):
+            for k in range(counts[r]):
                 node_of[ri, k] = self.node_of.get((r, k), -1)
         if self.opt_poses is None:
             self.optimize()

@@ -68,10 +68,23 @@ def _lio_config(cfg: SlamConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _frontend_fused_lio(scans: pcl.PointCloud, imu, cfg: SlamConfig, origin: Pose):
+def _frontend_fused_lio(
+    scans: pcl.PointCloud,
+    imu,
+    cfg: SlamConfig,
+    origin: Pose,
+    times: jax.Array | None = None,
+):
     """LIO odometry + keyframe gating as ONE lax.scan — no per-frame
     host round-trips (SURVEY §7.4 streaming). Returns (poses (T,),
-    store, added (T,) bool)."""
+    store, added (T,) bool).
+
+    `times`: optional (T, P) per-point capture times relative to each
+    sweep start (loaders/`preprocess.to_range_image`). With them
+    `lio.undistort` motion-compensates every point against the
+    intra-frame IMU trajectory (`IMU_Processing.hpp:65`'s backward
+    pass); without them points are stamped at sweep end (instantaneous
+    synthetic scans)."""
     from ..frontend import lio
 
     gyro, acc, dts = imu
@@ -85,12 +98,17 @@ def _frontend_fused_lio(scans: pcl.PointCloud, imu, cfg: SlamConfig, origin: Pos
         dist_thresh=cfg.keyframes.dist_thresh, leaf=cfg.keyframes.leaf,
     )
     frame_dt = jnp.sum(dts[0])
+    if times is None:
+        pt_times = jnp.full(
+            (scans.xyz.shape[0] - 1, scans.xyz.shape[1]), frame_dt * 0.999
+        )
+    else:
+        pt_times = jnp.minimum(times[1:], frame_dt * 0.999)
 
     def body(carry, frame):
         state, store = carry
-        scan_xyz, scan_mask, g, a, dt, stamp = frame
+        scan_xyz, scan_mask, pt_time, g, a, dt, stamp = frame
         scan = pcl.PointCloud(scan_xyz, scan_mask)
-        pt_time = jnp.full((scan_xyz.shape[0],), frame_dt * 0.999)
         state, _ = lio.step(
             state, scan, pt_time, lio.ImuSample(gyro=g, acc=a, dt=dt), lcfg
         )
@@ -104,7 +122,7 @@ def _frontend_fused_lio(scans: pcl.PointCloud, imu, cfg: SlamConfig, origin: Pos
     stamps = jnp.arange(1, T, dtype=jnp.float32)
     (state, store), (poses, added) = jax.lax.scan(
         body, (state0, store0),
-        (scans.xyz[1:], scans.mask[1:], gyro, acc, dts, stamps),
+        (scans.xyz[1:], scans.mask[1:], pt_times, gyro, acc, dts, stamps),
     )
     poses = Pose(
         jnp.concatenate([origin.R[None], poses.R]),
@@ -115,17 +133,30 @@ def _frontend_fused_lio(scans: pcl.PointCloud, imu, cfg: SlamConfig, origin: Pos
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _frontend_fused(scans: pcl.PointCloud, cfg: SlamConfig, origin: Pose):
-    """Scan-matching odometry + keyframe gating as ONE lax.scan."""
+def _frontend_fused(
+    scans: pcl.PointCloud,
+    cfg: SlamConfig,
+    origin: Pose,
+    times: jax.Array | None = None,
+):
+    """Scan-matching odometry + keyframe gating as ONE lax.scan.
+
+    `times`: optional (T, P) per-point sweep-relative capture times —
+    with them each scan is constant-velocity undistorted inside
+    `odometry.step` (A-LOAM `TransformToStart`)."""
     ocfg = _odometry_config(cfg)
     state0 = odometry.init(ocfg, origin)
     store0 = kf.init(cfg.keyframes.capacity, cfg.keyframes.points_per_kf)
 
     def body(carry, frame):
         state, store = carry
-        scan_xyz, scan_mask, stamp = frame
+        if times is None:
+            scan_xyz, scan_mask, stamp = frame
+            t_rel = None
+        else:
+            scan_xyz, scan_mask, t_rel, stamp = frame
         scan = pcl.PointCloud(scan_xyz, scan_mask)
-        state, _ = odometry.step(state, scan, ocfg)
+        state, _ = odometry.step(state, scan, ocfg, t_rel=t_rel)
         store, added = kf.maybe_add(
             store, scan, state.pose, stamp,
             dist_thresh=cfg.keyframes.dist_thresh, leaf=cfg.keyframes.leaf,
@@ -134,9 +165,12 @@ def _frontend_fused(scans: pcl.PointCloud, cfg: SlamConfig, origin: Pose):
 
     T = scans.xyz.shape[0]
     stamps = jnp.arange(T, dtype=jnp.float32)
-    (state, store), (poses, added) = jax.lax.scan(
-        body, (state0, store0), (scans.xyz, scans.mask, stamps)
+    xs = (
+        (scans.xyz, scans.mask, stamps)
+        if times is None
+        else (scans.xyz, scans.mask, times, stamps)
     )
+    (state, store), (poses, added) = jax.lax.scan(body, (state0, store0), xs)
     return poses, store, added
 
 
@@ -155,6 +189,7 @@ def run_frontend(
     cfg: SlamConfig,
     origin: Pose | None = None,
     imu: tuple | None = None,
+    times: jax.Array | None = None,
 ) -> RobotResult:
     """Odometry + keyframe extraction for one robot's scan sequence
     (scans: stacked (T, P, 3)/(T, P) pytree, body frame).
@@ -164,16 +199,38 @@ def run_frontend(
     inertial front-end runs instead of pure scan matching (the
     reference's pluggable-front-end switch).
 
+    `times`: optional (T, P) per-point sweep-relative capture times —
+    enables motion compensation in BOTH front-ends (IMU-interpolated in
+    LIO, constant-velocity in scan2map).
+
     The whole front-end (odometry ticks + keyframe gating) is ONE
     compiled `lax.scan`; the only device->host transfer per sequence is
     the (T,) keyframe mask (SURVEY §7.4 streaming/asynchrony)."""
+    from . import observability as obs
+
     if origin is None:
         origin = se3.identity()
-    if cfg.odometry.frontend == "lio" and imu is not None:
-        poses, store, added = _frontend_fused_lio(scans, imu, cfg, origin)
-    else:
-        poses, store, added = _frontend_fused(scans, cfg, origin)
-    kf_frames = np.flatnonzero(np.asarray(added))
+    with obs.tracer.span("frontend"):
+        if cfg.odometry.frontend == "lio" and imu is not None:
+            # import OUTSIDE the trace: module-level constants
+            # (lio.GRAVITY) must not be created inside the jit trace
+            from ..frontend import lio  # noqa: F401
+
+            poses, store, added = _frontend_fused_lio(
+                scans, imu, cfg, origin, times
+            )
+        else:
+            poses, store, added = _frontend_fused(scans, cfg, origin, times)
+        kf_frames = np.flatnonzero(np.asarray(added))
+    kf_count = int(store.count)
+    if kf_count >= cfg.keyframes.capacity:
+        import warnings
+
+        obs.metrics.inc("keyframes.capacity_saturated")
+        warnings.warn(
+            f"keyframe store full ({cfg.keyframes.capacity}); further "
+            "keyframes are silently dropped — raise KeyframeCfg.capacity"
+        )
     return RobotResult(
         odom_poses=poses, store=store,
         kf_frame_idx=np.asarray(kf_frames, np.int64),
@@ -452,20 +509,63 @@ def run(
     cfg: SlamConfig,
     origins: list[Pose] | None = None,
     imus: list[tuple] | None = None,
+    times_per_robot: list | None = None,
 ) -> SlamResult:
     """Full multi-robot SLAM: per-robot front-ends, cross/self loop
     search, verification, PCM, chordal PGO.
 
     Per-robot `cfg.overlays` apply to each robot's front-end; when
     `origins` is None, overlay `init_pose`s are used (the reference's
-    `manual_config_dir` initial-pose path)."""
+    `manual_config_dir` initial-pose path). `times_per_robot`: optional
+    per-robot (T, P) point-time arrays for motion compensation."""
     R = len(scans_per_robot)
     robots = []
     for r in range(R):
         origin = origins[r] if origins else cfg.init_pose(r)
         imu = imus[r] if imus else None
-        robots.append(run_frontend(scans_per_robot[r], cfg.for_robot(r), origin, imu))
+        times = times_per_robot[r] if times_per_robot else None
+        robots.append(
+            run_frontend(scans_per_robot[r], cfg.for_robot(r), origin, imu, times)
+        )
     return run_backend(robots, cfg)
+
+
+def build_graph(robots: list[RobotResult], cfg: SlamConfig):
+    """Vectorized pose-graph construction: ONE node scatter and ONE
+    odometry-edge scatter per robot (the per-keyframe `add_node`/
+    `add_edge` host loop this replaces issued O(K) dispatches).
+
+    Returns (graph, node_of (R, Kmax) int64 with -1 padding)."""
+    R = len(robots)
+    graph = fg.init(cfg.pgo.node_capacity, cfg.pgo.edge_capacity)
+    counts = [int(rr.store.count) for rr in robots]
+    node_of = -np.ones((R, max(max(counts, default=0), 1)), np.int64)
+    for r, rr in enumerate(robots):
+        K = counts[r]
+        if K == 0:
+            continue
+        poses = Pose(rr.store.poses.R[:K], rr.store.poses.t[:K])
+        graph, idx = fg.add_nodes_batch(
+            graph, poses, jnp.full((K,), r, jnp.int32)
+        )
+        idx_np = np.asarray(idx)
+        node_of[r, :K] = np.where(idx_np < cfg.pgo.node_capacity, idx_np, -1)
+        if (node_of[r, :K] < 0).any():
+            import warnings
+
+            warnings.warn(
+                f"pose-graph node capacity {cfg.pgo.node_capacity} "
+                f"saturated adding robot {r} ({K} keyframes) — "
+                "overflow keyframes dropped from the graph"
+            )
+        if K > 1:
+            meas = se3.between(
+                Pose(poses.R[:-1], poses.t[:-1]), Pose(poses.R[1:], poses.t[1:])
+            )
+            graph, _ = fg.add_edges_batch(
+                graph, idx[:-1], idx[1:], meas, fg.ODOM, 1.0, 1.0
+            )
+    return graph, node_of
 
 
 def run_backend(
@@ -478,104 +578,78 @@ def run_backend(
     given identical inputs, so multi-host runs execute it redundantly on
     every process (replicated control; see `parallel/multihost.py`).
     `pgo_mesh`: optional device mesh — the optimizer runs edge-sharded
-    over it (`backend/distributed.py`) instead of single-device."""
+    over it (`backend/distributed.py`) instead of single-device.
+
+    Array-native dispatch budget: O(R) descriptor batches + graph
+    scatters, O(R^2) retrievals, O(candidates / CHUNK) verification
+    batches — never O(K) host round-trips (see `runtime/loopstage.py`).
+    """
+    from . import loopstage
+    from . import observability as obs
+
     R = len(robots)
-    descs = [compute_descriptors(rr.store, cfg) for rr in robots]
+    with obs.tracer.span("backend.prepare"):
+        descs = [compute_descriptors(rr.store, cfg) for rr in robots]
+        jax.block_until_ready(descs)
 
-    # ---- build graph: odometry chains ------------------------------------
-    graph = fg.init(cfg.pgo.node_capacity, cfg.pgo.edge_capacity)
-    node_of = -np.ones((R, max(int(rr.store.count) for rr in robots)), np.int64)
-    for r, rr in enumerate(robots):
-        K = int(rr.store.count)
-        prev = None
-        for k in range(K):
-            graph, idx = fg.add_node(
-                graph, se3.index(rr.store.poses, k), jnp.int32(r)
-            )
-            node_of[r, k] = int(idx)
-            if prev is not None:
-                meas = se3.between(
-                    se3.index(rr.store.poses, k - 1), se3.index(rr.store.poses, k)
-                )
-                graph, _ = fg.add_edge(
-                    graph, jnp.int32(prev), jnp.int32(int(idx)), meas,
-                    jnp.int32(fg.ODOM), jnp.float32(1.0), jnp.float32(1.0),
-                )
-            prev = int(idx)
+    # ---- build graph: odometry chains (vectorized scatters) --------------
+    with obs.tracer.span("backend.graph"):
+        graph, node_of = build_graph(robots, cfg)
 
-    # ---- loop retrieval + verification -----------------------------------
+    # ---- loop retrieval + verification (batched, O(R^2) dispatches) ------
     loops: list[dict] = []
-    for ra in range(R):
-        Ka = int(robots[ra].store.count)
-        for rb in range(R):
-            if rb > ra:
-                continue  # each unordered pair once; allow ra==rb (self loops)
-            Kb = int(robots[rb].store.count)
-            if Ka == 0 or Kb == 0:
-                continue
-            for ia in range(Ka):
-                d, yaw = _descriptor_distances(descs[ra], ia, descs[rb], cfg)
-                d = np.array(d[:Kb])  # writable copy
-                yaw_np = np.asarray(yaw[:Kb]) if yaw is not None else np.zeros(Kb)
-                if ra == rb:
-                    lo = max(0, ia - cfg.loops.min_separation)
-                    hi = min(Kb, ia + cfg.loops.min_separation + 1)
-                    d[lo:hi] = np.inf
-                order = list(np.argsort(d)[: cfg.loops.candidates])
-                if ra == rb:
-                    # odometry-space radius path joins the candidate set
-                    for j in odom_space_candidates(robots[ra].store, ia, cfg):
-                        if j not in order:
-                            order.append(j)
-                for ib in order:
-                    desc_ok = np.isfinite(d[ib]) and d[ib] <= cfg.loops.dist_thresh
-                    odom_ok = (
-                        ra == rb and cfg.loops.odom_radius > 0.0
-                        and abs(ia - int(ib)) > cfg.loops.min_separation
-                        and float(
-                            jnp.linalg.norm(
-                                robots[ra].store.poses.t[ia]
-                                - robots[rb].store.poses.t[int(ib)]
-                            )
-                        ) < cfg.loops.odom_radius
-                    )
-                    if not (desc_ok or odom_ok):
-                        continue
-                    accept, rel, fit = _verify_loop(
-                        robots[ra].store, ia, robots[rb].store, int(ib),
-                        float(yaw_np[ib]), cfg, same_robot=(ra == rb),
-                        descs_a=descs[ra], descs_b=descs[rb],
-                    )
-                    if accept:
-                        loops.append(
-                            dict(
-                                robot_a=ra, kf_a=ia, robot_b=rb, kf_b=int(ib),
-                                rel=rel, fitness=fit, desc_dist=float(d[ib]),
-                            )
-                        )
+    with obs.tracer.span("backend.associate"):
+        for ra in range(R):
+            for rb in range(ra + 1):  # each unordered pair once; ra==rb = self
                 if len(loops) >= cfg.loops.max_loops:
                     break
+                found = loopstage.search_pair_loops(
+                    robots[ra].store, descs[ra], robots[rb].store, descs[rb],
+                    cfg, same_robot=(ra == rb),
+                )
+                for l in found:
+                    loops.append(
+                        dict(
+                            robot_a=ra, kf_a=l["kf_a"], robot_b=rb,
+                            kf_b=l["kf_b"], rel=l["rel"],
+                            fitness=l["fitness"], desc_dist=l["desc_dist"],
+                        )
+                    )
+    loops = loops[: cfg.loops.max_loops]
+    obs.metrics.inc("backend.loops_found", len(loops))
 
     # ---- PCM gating on inter-robot loops (per robot pair) ----------------
     inter = [l for l in loops if l["robot_a"] != l["robot_b"]]
     intra = [l for l in loops if l["robot_a"] == l["robot_b"]]
-    kept_inter = pcm_gate_inter_loops(
-        inter, lambda r, k: se3.index(robots[r].store.poses, k), cfg
-    )
+    with obs.tracer.span("backend.pcm"):
+        kept_inter = pcm_gate_inter_loops(
+            inter, lambda r, k: se3.index(robots[r].store.poses, k), cfg
+        )
+    obs.metrics.inc("backend.pcm_rejected", len(inter) - len(kept_inter))
 
     accepted = intra + kept_inter
-    for l in accepted:
-        i = int(node_of[l["robot_a"], l["kf_a"]])
-        j = int(node_of[l["robot_b"], l["kf_b"]])
-        kind = fg.INTRA_LOOP if l["robot_a"] == l["robot_b"] else fg.INTER_LOOP
-        # rel maps a->b frames: measurement for edge (i=a, j=b) is pose
-        # of b expressed in a = inverse(rel)? Convention: edge meas =
-        # between(pose_i, pose_j) = T_i^-1 T_j. rel = b_frame <- a_frame
-        # transform of POINTS, i.e. T_b^-1 T_a; so meas = rel^-1.
-        meas = se3.inverse(l["rel"])
-        graph, _ = fg.add_edge(
-            graph, jnp.int32(i), jnp.int32(j), meas, jnp.int32(kind),
-            jnp.float32(cfg.loops.w_rot), jnp.float32(cfg.loops.w_trans),
+    if accepted:
+        # one batched edge scatter for ALL loop edges. rel maps a->b
+        # POINTS, i.e. T_b^-1 T_a; edge meas = between(pose_i, pose_j)
+        # = T_a^-1 T_b = rel^-1.
+        ei = jnp.asarray(
+            [int(node_of[l["robot_a"], l["kf_a"]]) for l in accepted], jnp.int32
+        )
+        ej = jnp.asarray(
+            [int(node_of[l["robot_b"], l["kf_b"]]) for l in accepted], jnp.int32
+        )
+        kinds = jnp.asarray(
+            [
+                fg.INTRA_LOOP if l["robot_a"] == l["robot_b"] else fg.INTER_LOOP
+                for l in accepted
+            ],
+            jnp.int32,
+        )
+        meas = se3.inverse(se3.stack([l["rel"] for l in accepted]))
+        graph, _ = fg.add_edges_batch(
+            graph, ei, ej, meas, kinds,
+            jnp.full((len(accepted),), cfg.loops.w_rot, jnp.float32),
+            jnp.full((len(accepted),), cfg.loops.w_trans, jnp.float32),
         )
 
     # ---- optimize --------------------------------------------------------
@@ -587,12 +661,16 @@ def run_backend(
         rot_cg_iters=cfg.pgo.rot_cg_iters, gn_iters=cfg.pgo.gn_iters,
         pose_cg_iters=cfg.pgo.pose_cg_iters, robust_delta=cfg.pgo.robust_delta,
     )
-    if pgo_mesh is not None:
-        from ..backend import distributed
+    with obs.tracer.span("backend.solve"):
+        if pgo_mesh is not None:
+            from ..backend import distributed
 
-        opt = distributed.optimize(graph, jnp.asarray(anchors), pgo_mesh, pgo_cfg)
-    else:
-        opt = chordal.optimize(graph, jnp.asarray(anchors), pgo_cfg)
+            opt = distributed.optimize(
+                graph, jnp.asarray(anchors), pgo_mesh, pgo_cfg
+            )
+        else:
+            opt = chordal.optimize(graph, jnp.asarray(anchors), pgo_cfg)
+        jax.block_until_ready(opt.t)
     return SlamResult(
         robots=robots, graph=graph, opt_poses=opt, node_of=node_of,
         loops=accepted,
@@ -611,29 +689,32 @@ def build_elevation(
     `pointMap_layer`). `size` cells at cfg.elevation.resolution."""
     from ..mapping import costmap as costmap_mod
     from ..mapping import elevation
+    from . import observability as obs
 
-    emap = elevation.init(
-        size=size, resolution=cfg.elevation.resolution, center=center
-    )
-    for r, rr in enumerate(result.robots):
-        K = int(rr.store.count)
-        if K == 0:
-            continue
-        ids = result.node_of[r, :K]
-        poses = Pose(result.opt_poses.R[ids], result.opt_poses.t[ids])
-        pts = (
-            jnp.einsum("kab,kpb->kpa", poses.R, rr.store.xyz[:K])
-            + poses.t[:, None, :]
+    with obs.tracer.span("backend.compose"):
+        emap = elevation.init(
+            size=size, resolution=cfg.elevation.resolution, center=center
         )
-        cloud = pcl.park(
-            pcl.PointCloud(pts.reshape(-1, 3), rr.store.mask[:K].reshape(-1))
+        for r, rr in enumerate(result.robots):
+            K = int(rr.store.count)
+            if K == 0:
+                continue
+            ids = result.node_of[r, :K]
+            poses = Pose(result.opt_poses.R[ids], result.opt_poses.t[ids])
+            pts = (
+                jnp.einsum("kab,kpb->kpa", poses.R, rr.store.xyz[:K])
+                + poses.t[:, None, :]
+            )
+            cloud = pcl.park(
+                pcl.PointCloud(pts.reshape(-1, 3), rr.store.mask[:K].reshape(-1))
+            )
+            var = elevation.sensor_variance(cloud.xyz)
+            emap = elevation.fuse(emap, cloud, var)
+        feats = elevation.features(emap)
+        cm = costmap_mod.from_elevation(
+            emap, feats, travers_thresh=cfg.elevation.travers_thresh
         )
-        var = elevation.sensor_variance(cloud.xyz)
-        emap = elevation.fuse(emap, cloud, var)
-    feats = elevation.features(emap)
-    cm = costmap_mod.from_elevation(
-        emap, feats, travers_thresh=cfg.elevation.travers_thresh
-    )
+        jax.block_until_ready(cm)
     return emap, feats, cm
 
 

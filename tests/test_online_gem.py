@@ -60,14 +60,16 @@ class TestOnlineGem:
         assert np.linalg.norm(center - robot_xy) < 2 * cfg.elevation.resolution + 1e-3
         assert int(np.asarray(m.valid).sum()) > 100
         # one flushed grid submap per keyframe
-        assert len(rs["gem_flushed"]) == int(rs["store"].count) >= 2
+        store, _ = sess.store_view(0)
+        assert len(rs["gem_flushed"]) == int(store.count) >= 2
 
     def test_reanchoring_uses_optimized_poses(self):
         world, cfg, sess, traj = self._run_session()
         rs = sess.robots[0]
-        K = int(rs["store"].count)
+        store, _ = sess.store_view(0)
+        K = int(store.count)
         # pretend optimization produced the TRUE keyframe poses
-        kf_stamps = np.asarray(rs["store"].stamps[:K]).astype(int)
+        kf_stamps = np.asarray(store.stamps[:K]).astype(int)
         N = sess.graph.node_capacity
         Rm = np.tile(np.eye(3), (N, 1, 1)).astype(np.float32)
         tm = np.zeros((N, 3), np.float32)
