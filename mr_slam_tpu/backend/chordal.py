@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..geometry import se3, so3
 from ..geometry.se3 import Pose
 from .factor_graph import FactorGraph, PRIOR
+from ..precision import accurate
 
 
 class PGOConfig(NamedTuple):
@@ -57,6 +58,7 @@ def _preduce(x, axis_name):
     return x if axis_name is None else jax.lax.psum(x, axis_name)
 
 
+@accurate
 @partial(jax.jit, static_argnames=("iters", "axis_name", "anchor_weight"))
 def rotation_init(
     g: FactorGraph,
@@ -186,6 +188,7 @@ def _edge_block_weight(g: FactorGraph, r: jax.Array, robust_delta: float):
     return row_w
 
 
+@accurate
 @partial(jax.jit, static_argnames=("config", "axis_name"))
 def optimize(
     g: FactorGraph,

@@ -32,6 +32,7 @@ from jax.sharding import PartitionSpec as P
 from ..geometry.se3 import Pose
 from . import chordal
 from .factor_graph import FactorGraph
+from ..precision import accurate
 
 AXIS = "robot"
 
@@ -79,6 +80,7 @@ def edge_specs() -> FactorGraph:
     )
 
 
+@accurate
 @partial(jax.jit, static_argnames=("config", "mesh"))
 def optimize(
     g: FactorGraph,

@@ -39,6 +39,7 @@ from ..geometry import so3
 from ..geometry.se3 import Pose
 from . import chordal
 from .factor_graph import FactorGraph
+from ..precision import accurate
 
 
 class GSConfig(NamedTuple):
@@ -111,6 +112,7 @@ def _rotation_system(g: FactorGraph, gate: jax.Array, anchors: jax.Array,
     return A, b_anchor
 
 
+@accurate
 @partial(jax.jit, static_argnames=("n_robots", "config"))
 def optimize(
     g: FactorGraph,

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..geometry import se3, so3
 from ..geometry.se3 import Pose
 from ..ops import linalg3, pointcloud as pcl, voxel_grid
+from ..precision import accurate
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81])
 
@@ -90,6 +91,7 @@ def init(config: LioConfig, origin: Pose | None = None) -> LioState:
     )
 
 
+@accurate
 @jax.jit
 def imu_init(state: LioState, imu: ImuSample) -> LioState:
     """Static initialization from a rest prefix (`IMU_init`,
@@ -106,6 +108,7 @@ def imu_init(state: LioState, imu: ImuSample) -> LioState:
     return state._replace(bg=gyro_mean, grav=g)
 
 
+@accurate
 def propagate(state: LioState, imu: ImuSample, config: LioConfig):
     """Forward-propagate mean and covariance through an IMU packet
     (`ImuProcess::Process` forward pass). imu leaves have leading time
@@ -172,6 +175,7 @@ def undistort(
     return pcl.park(pcl.PointCloud(body_end, scan.mask))
 
 
+@accurate
 @partial(jax.jit, static_argnames=("config",))
 def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
     """Iterated measurement update — MAP Gauss-Newton with the
@@ -240,6 +244,7 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
     return state2, inliers[-1]
 
 
+@accurate
 @partial(jax.jit, static_argnames=("config",))
 def step(
     state: LioState,

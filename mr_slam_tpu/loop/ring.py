@@ -152,15 +152,28 @@ class RingDescriptor(NamedTuple):
     tiring: jax.Array    # (n_angles, W) |FFT_row| — translation invariant
 
 
+def _radon_dispatch(bev: jax.Array, n_angles: int) -> jax.Array:
+    """Production Radon lowering: the gather-free MXU/FFT kernel on TPU
+    (`radon_mxu` — splat matmuls ride the systolic array instead of
+    4-tap gathers), the bilinear-gather `radon` elsewhere (CPU tests).
+    The two agree up to the splat-vs-gather interpolation kernel:
+    identical correlation/retrieval behaviour, not bit-equality."""
+    if jax.default_backend() == "tpu":
+        W = bev.shape[-1]
+        upsize = max(256, -((-2 * W) // 128) * 128)  # > W + max|shift|
+        return radon_mxu(bev, n_angles, upsize)
+    return radon(bev, n_angles)
+
+
 @partial(jax.jit, static_argnames=("n_angles",))
 def describe(bev: jax.Array, n_angles: int = 120) -> RingDescriptor:
     """BEV (H, W) (or (C, H, W) multi-channel for RING++, channels
     averaged after per-channel Radon) -> RING + TIRING."""
     if bev.ndim == 3:
-        sino = jax.vmap(lambda b: radon(b, n_angles))(bev)
+        sino = jax.vmap(lambda b: _radon_dispatch(b, n_angles))(bev)
         sino = jnp.mean(sino, axis=0)
     else:
-        sino = radon(bev, n_angles)
+        sino = _radon_dispatch(bev, n_angles)
     sino = sino / jnp.maximum(jnp.linalg.norm(sino), 1e-9)
     tiring = jnp.abs(jnp.fft.fft(sino, axis=-1))
     return RingDescriptor(sinogram=sino, tiring=tiring)
@@ -178,7 +191,7 @@ def describe_ringpp(feature_bev: jax.Array, n_angles: int = 120) -> RingPPDescri
     Channels are kept separate; matching sums correlation over channels
     (`fast_corr_RINGplusplus`, `util.py:337-358`)."""
     def one(ch):
-        s = radon(ch, n_angles)
+        s = _radon_dispatch(ch, n_angles)
         s = s / jnp.maximum(jnp.linalg.norm(s), 1e-9)
         return s, jnp.abs(jnp.fft.fft(s, axis=-1))
 

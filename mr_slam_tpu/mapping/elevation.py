@@ -315,8 +315,32 @@ def _window_sums(x: jax.Array, k: int) -> jax.Array:
     return x2
 
 
-@partial(jax.jit, static_argnames=("window",))
 def features(
+    m: ElevationMap,
+    window: int = 5,
+    slope_crit: float = 0.6,
+    rough_crit: float = 0.15,
+    step_crit: float = 0.3,
+) -> TerrainFeatures:
+    """Terrain features — PRODUCTION dispatcher. On TPU with the
+    standard 5x5 window this takes the fused Pallas stencil
+    (`features_fused`, measured 1.1-2.6x faster than the XLA lowering
+    on chip — bench.py `pallas_stencil`); elsewhere (CPU tests, odd
+    windows) the XLA path (`features_xla`). Both compute
+    `G_Mapfeature`'s plane-fit slope/roughness/step/traversability."""
+    if window == 5 and jax.default_backend() == "tpu":
+        return features_fused(
+            m, slope_crit=slope_crit, rough_crit=rough_crit,
+            step_crit=step_crit,
+        )
+    return features_xla(
+        m, window, slope_crit=slope_crit, rough_crit=rough_crit,
+        step_crit=step_crit,
+    )
+
+
+@partial(jax.jit, static_argnames=("window",))
+def features_xla(
     m: ElevationMap,
     window: int = 5,
     slope_crit: float = 0.6,

@@ -51,6 +51,7 @@ from ..geometry.se3 import Pose
 from . import voxel_grid
 from .pointcloud import PointCloud
 from .registration import RegistrationResult, fitness
+from ..precision import accurate
 
 BLK = 256          # points per grid step
 CHUNK = 1024       # table rows per one-hot matmul
@@ -308,6 +309,7 @@ def gn_accumulate(
     return H[0], b[0], cost[0], n[0]
 
 
+@accurate
 @partial(jax.jit, static_argnames=("iters", "interpret"))
 def vgicp_batch(
     sources: PointCloud,          # batched (B, N, ...) pytree
@@ -346,6 +348,7 @@ def vgicp_batch(
     return se3.normalize(pose), costs[-1], inliers[-1]
 
 
+@accurate
 @partial(jax.jit, static_argnames=("iters", "interpret"))
 def vgicp(
     source: PointCloud,

@@ -26,6 +26,7 @@ from ..geometry import se3
 from ..geometry.se3 import Pose
 from . import linalg3, voxel_grid
 from .pointcloud import PointCloud
+from ..precision import accurate
 
 
 class RegistrationResult(NamedTuple):
@@ -177,6 +178,7 @@ def _gn_terms_from_rows(
     return H, acc[21:27], acc[27], acc[28]
 
 
+@accurate
 @partial(jax.jit, static_argnames=("iters", "neighbors"))
 def vgicp(
     source: PointCloud,
@@ -263,6 +265,7 @@ def vgicp(
     )
 
 
+@accurate
 @partial(jax.jit, static_argnames=("iters", "inner"))
 def _vgicp_direct1(
     source: PointCloud,
@@ -322,6 +325,7 @@ def _vgicp_direct1(
     )
 
 
+@accurate
 @partial(jax.jit, static_argnames=("iters", "neighbors"))
 def point_to_plane_icp(
     source: PointCloud,
@@ -400,6 +404,7 @@ def point_to_plane_icp(
     )
 
 
+@accurate
 @partial(jax.jit, static_argnames=("iters",))
 def loam_icp(
     corners: PointCloud,
@@ -496,6 +501,7 @@ def loam_icp(
     )
 
 
+@accurate
 @partial(jax.jit, static_argnames=("iters",))
 def point_to_point_icp(
     source: PointCloud,
@@ -558,6 +564,7 @@ def _regularized_covs(pc: PointCloud, k: int = 10):
     return C, valid
 
 
+@accurate
 @partial(jax.jit, static_argnames=("iters", "corr_k"))
 def gicp(
     source: PointCloud,
@@ -626,6 +633,7 @@ def so3_hat(v: jax.Array) -> jax.Array:
     return so3.hat(v)
 
 
+@accurate
 @jax.jit
 def fitness(
     source: PointCloud,
@@ -671,6 +679,7 @@ def fitness(
     return jnp.where(frac >= min_match, mean_matched, max_range**2)
 
 
+@accurate
 def register_pair(
     source: PointCloud,
     target: PointCloud,
