@@ -64,6 +64,13 @@ class LoopCfg:
 
 @dataclass(frozen=True)
 class PGOCfg:
+    # Defaults are sized for small/online graphs (tens to ~200 nodes).
+    # For production-scale graphs (>= ~300 nodes) raise to
+    # (rot_cg_iters=120, gn_iters=30, pose_cg_iters=120) — the
+    # reference-parity budget (~gtsam's 200 GN iterations,
+    # `evaluation_utils.cpp:321`), validated <= 1.1x the independent
+    # reference solver's ATE on 510-node graphs
+    # (tests/test_reference_solver.py, bench `ate_vs_reference`).
     rot_cg_iters: int = 60
     gn_iters: int = 12
     pose_cg_iters: int = 40
