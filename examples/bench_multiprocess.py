@@ -41,7 +41,11 @@ def run_config(n_procs: int, frames: int) -> float:
             MRSLAM_ROBOTS=str(n_procs),
             MRSLAM_FRAMES=str(frames),
             MRSLAM_BENCH="1",
-            PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+            PYTHONPATH=REPO + os.pathsep + os.pathsep.join(
+                x for x in env.get("PYTHONPATH", "").split(os.pathsep)
+                # TPU plugin dirs force the axon backend onto CPU workers
+                if x and "axon" not in x
+            ),
         )
         if n_procs > 1:
             env.update(
@@ -95,7 +99,11 @@ def run_concurrent_independent(n_procs: int, frames: int) -> float:
             MRSLAM_ROBOTS="1",
             MRSLAM_FRAMES=str(frames),
             MRSLAM_BENCH="1",
-            PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+            PYTHONPATH=REPO + os.pathsep + os.pathsep.join(
+                x for x in env.get("PYTHONPATH", "").split(os.pathsep)
+                # TPU plugin dirs force the axon backend onto CPU workers
+                if x and "axon" not in x
+            ),
         )
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(HERE, "multihost_worker.py")],
@@ -125,7 +133,7 @@ def run_concurrent_independent(n_procs: int, frames: int) -> float:
 
 def main() -> None:
     n = int(os.environ.get("BENCH_PROCESSES", "2"))
-    frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    frames = int(os.environ.get("BENCH_FRAMES", "32"))
     fps_1 = run_config(1, frames)
     fps_n = run_config(n, frames)
     fps_roof = run_concurrent_independent(n, frames)

@@ -22,6 +22,15 @@ per candidate). Here the whole stage is O(R^2) dispatches:
 Host Python only gates tiny (Q, C) arrays and assembles the accepted
 list. SURVEY §5.7 (keyframe scaling axis); the O(K·R²) dispatch pattern
 this replaces is documented in VERDICT round 2, Missing #2.
+
+Design note — brute force IS the TPU-native index: the reference gates
+DiSCO candidates through an incremental CPU kd-tree
+(`global_manager.cpp:1867-1888`); our `native.DescriptorKNN` provides
+the same host-side index, but at K <= a few thousand keyframes one
+(Q, D)x(K, D) einsum on the MXU beats tree traversal by orders of
+magnitude and has no host round-trip, so the batched matmul is the
+production retrieval path and the native index remains the host-side
+fallback for CPU-only deployments.
 """
 from __future__ import annotations
 

@@ -158,7 +158,14 @@ class OnlineSlam:
         """Odometry tick + keyframe gate. Returns the current odometry
         pose estimate for `robot`. `times`: optional (P,) per-point
         sweep-relative capture times — enables constant-velocity
-        undistortion in the odometry step."""
+        undistortion in the odometry step.
+
+        Sync budget: ONE scalar device->host transfer per frame (the
+        keyframe-gate bit, needed to schedule the host-side descriptor
+        write and loop stage). At 10 Hz x R robots this is O(10R)
+        scalar syncs/s — negligible against the per-frame compute; the
+        offline path (`pipeline._frontend_fused`) folds even this into
+        its lax.scan."""
         from . import observability as obs
 
         if robot not in self.robots:
