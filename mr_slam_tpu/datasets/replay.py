@@ -38,6 +38,8 @@ class Frame:
     robot: int
     scan: pcl.PointCloud          # body-frame masked cloud
     origin: Pose | None = None    # robot's initial pose (first frame only)
+    imu: tuple | None = None      # (gyro (S,3), acc (S,3), dt (S)) packet
+    times: object | None = None   # (P,) sweep-relative point times
 
 
 def synthetic_bag(
@@ -49,23 +51,38 @@ def synthetic_bag(
     n_rings: int = 16,
     n_azimuth: int = 512,
     seed: int = 0,
+    with_imu: bool = False,
+    imu_sub: int = 10,
 ) -> list[Frame]:
     """Raycast an interleaved multi-robot frame stream: robot r's frame
     i is stamped i*frame_dt + r*stagger, so robots' frames interleave
-    like concurrent rosbag topics."""
+    like concurrent rosbag topics. `with_imu=True` attaches synthesized
+    IMU packets per frame (the PointCloud2+Imu pairing a FAST-LIO
+    session consumes; frame 0 of each robot carries None — the session
+    propagates from the registered origin)."""
     frames: list[Frame] = []
     for r, traj in enumerate(trajs):
         keys = jax.random.split(jax.random.PRNGKey(seed + r), n_frames)
+        imu = None
+        if with_imu:
+            imu = synthetic.imu_for_trajectory(
+                traj, frame_dt=frame_dt, n_sub=imu_sub
+            )
         for i in range(n_frames):
             xyz, _, hit = synthetic.scan(
                 world, se3.index(traj, i), n_rings=n_rings,
                 n_azimuth=n_azimuth, key=keys[i],
             )
+            packet = None
+            if with_imu and i > 0:
+                g, a, d = imu
+                packet = (g[i - 1], a[i - 1], d[i - 1])
             frames.append(Frame(
                 stamp=i * frame_dt + r * stagger,
                 robot=r,
                 scan=synthetic.scan_to_cloud(xyz, hit),
                 origin=se3.index(traj, 0) if i == 0 else None,
+                imu=packet,
             ))
     frames.sort(key=lambda f: f.stamp)
     return frames
@@ -110,6 +127,8 @@ def replay(frames: Iterable[Frame], session) -> int:
     for f in frames:
         if f.robot not in session.robots:
             session.register_robot(f.robot, f.origin)
-        session.add_frame(f.robot, f.scan, stamp=f.stamp)
+        session.add_frame(
+            f.robot, f.scan, stamp=f.stamp, times=f.times, imu=f.imu
+        )
         n += 1
     return n

@@ -123,12 +123,26 @@ class OnlineSlam:
         if origin is None:
             origin = self.cfg.init_pose(robot)  # overlay T.initPose
         rcfg = self.cfg.for_robot(robot)
-        rs = dict(
-            odo=odometry.init(pl._odometry_config(rcfg), origin),
-            odo_cfg=pl._odometry_config(rcfg),
-            kf_cfg=rcfg.keyframes,
-            frame=0,
-        )
+        if rcfg.odometry.frontend == "lio":
+            # streaming lidar-inertial front-end (the reference's
+            # FAST-LIO per-robot node); frames must carry IMU packets
+            from ..frontend import lio
+
+            rs = dict(
+                frontend="lio",
+                odo=lio.init(pl._lio_config(rcfg), origin),
+                odo_cfg=pl._lio_config(rcfg),
+                kf_cfg=rcfg.keyframes,
+                frame=0,
+            )
+        else:
+            rs = dict(
+                frontend="scan2map",
+                odo=odometry.init(pl._odometry_config(rcfg), origin),
+                odo_cfg=pl._odometry_config(rcfg),
+                kf_cfg=rcfg.keyframes,
+                frame=0,
+            )
         if self.enable_gem:
             from ..mapping import elevation
 
@@ -154,11 +168,15 @@ class OnlineSlam:
         scan: pcl.PointCloud,
         stamp: float = 0.0,
         times=None,
+        imu=None,
     ) -> Pose:
         """Odometry tick + keyframe gate. Returns the current odometry
         pose estimate for `robot`. `times`: optional (P,) per-point
         sweep-relative capture times — enables constant-velocity
-        undistortion in the odometry step.
+        undistortion in the odometry step (IMU-interpolated in LIO).
+        `imu`: (gyro (S, 3), acc (S, 3), dt (S)) packet covering the
+        sweep — REQUIRED per frame when the robot runs the LIO
+        front-end (`OdometryCfg.frontend == 'lio'`).
 
         Sync budget: ONE scalar device->host transfer per frame (the
         keyframe-gate bit, needed to schedule the host-side descriptor
@@ -173,10 +191,37 @@ class OnlineSlam:
         rs = self.robots[robot]
         row = self.rows[robot]
         with obs.tracer.span("online.frontend"):
-            rs["odo"], _ = odometry.step(
-                rs["odo"], scan, rs["odo_cfg"], t_rel=times
-            )
-            pose = rs["odo"].pose
+            if rs["frontend"] == "lio":
+                from ..frontend import lio
+
+                if imu is None:
+                    if rs["frame"] > 0:
+                        raise ValueError(
+                            f"robot {robot} runs the LIO front-end; "
+                            "add_frame needs an imu=(gyro, acc, dt) "
+                            "packet per frame"
+                        )
+                    # frame 0: no propagation — gate the origin keyframe
+                    # (the batch path does the same, `_frontend_fused_lio`)
+                else:
+                    gyro, acc, dts = imu
+                    frame_dt = jnp.sum(dts)
+                    pt_time = (
+                        jnp.asarray(times)
+                        if times is not None
+                        else jnp.full((scan.xyz.shape[0],), frame_dt * 0.999)
+                    )
+                    rs["odo"], _ = lio.step(
+                        rs["odo"], scan, pt_time,
+                        lio.ImuSample(gyro=gyro, acc=acc, dt=dts),
+                        rs["odo_cfg"],
+                    )
+                pose = rs["odo"].pose()
+            else:
+                rs["odo"], _ = odometry.step(
+                    rs["odo"], scan, rs["odo_cfg"], t_rel=times
+                )
+                pose = rs["odo"].pose
             self.mstore, added, k = mstore_lib.gate_and_add(
                 self.mstore, jnp.int32(row), scan, pose, jnp.float32(stamp),
                 dist_thresh=rs["kf_cfg"].dist_thresh, leaf=rs["kf_cfg"].leaf,
@@ -460,9 +505,12 @@ class OnlineSlam:
         for ri, r in enumerate(ids):
             rs = self.robots[r]
             store, _ = self.store_view(r)
+            cur_pose = (
+                rs["odo"].pose() if rs["frontend"] == "lio" else rs["odo"].pose
+            )
             robots.append(
                 pl.RobotResult(
-                    odom_poses=rs["odo"].pose, store=store,
+                    odom_poses=cur_pose, store=store,
                     kf_frame_idx=np.arange(counts[r]),
                 )
             )

@@ -140,3 +140,57 @@ class TestConfigOverlays:
             atol=1e-6,
         )
         assert sess.robots[1]["kf_cfg"].dist_thresh == 7.5
+
+
+class TestOnlineLio:
+    def test_streaming_lio_session(self):
+        """The online scheduler runs the FAST-LIO front-end per robot
+        when cfg selects it (the reference's pluggable per-robot node),
+        fed PointCloud2+Imu pairs through the bag replay."""
+        from mr_slam_tpu.datasets import replay, synthetic
+        from mr_slam_tpu.runtime.config import (
+            KeyframeCfg, LoopCfg, OdometryCfg, SlamConfig,
+        )
+
+        world = synthetic.default_world(3)
+        # rest start: LIO initializes v = 0 (robots power up standing)
+        circ = synthetic.circle_trajectory(8, radius=25.0, laps=0.05)
+        traj = se3.Pose(
+            jnp.concatenate([jnp.broadcast_to(circ.R[:1], (3, 3, 3)), circ.R]),
+            jnp.concatenate([jnp.broadcast_to(circ.t[:1], (3, 3)), circ.t]),
+        )
+        n = traj.t.shape[0]
+        cfg = SlamConfig(
+            odometry=OdometryCfg(frontend="lio", scan_capacity=4096,
+                                 insert_capacity=8192, table_size=1 << 16),
+            keyframes=KeyframeCfg(dist_thresh=1.0, capacity=16,
+                                  points_per_kf=2048),
+            loops=LoopCfg(method="scancontext", dist_thresh=0.4,
+                          min_separation=4, verify_capacity=4096),
+        )
+        bag = replay.synthetic_bag(
+            world, [traj], n, n_rings=16, n_azimuth=512, with_imu=True
+        )
+        sess = online.OnlineSlam(cfg)
+        fed = replay.replay(bag, sess)
+        assert fed == n
+        res = sess.result()
+        K = int(res.robots[0].store.count)
+        assert K >= 3
+        # LIO pose tracked the circle: final odometry within 1.5 m
+        drift = float(jnp.linalg.norm(res.robots[0].odom_poses.t - traj.t[n - 1]))
+        assert drift < 1.5, drift
+
+    def test_lio_robot_requires_imu(self):
+        from mr_slam_tpu.runtime.config import OdometryCfg, SlamConfig
+
+        cfg = SlamConfig(odometry=OdometryCfg(
+            frontend="lio", scan_capacity=512, insert_capacity=1024,
+            table_size=1 << 10,
+        ))
+        sess = online.OnlineSlam(cfg)
+        sess.register_robot(0)
+        scan = pcl.PointCloud(jnp.zeros((512, 3)), jnp.ones((512,), bool))
+        sess.add_frame(0, scan)  # frame 0 may omit imu
+        with pytest.raises(ValueError):
+            sess.add_frame(0, scan)
