@@ -84,9 +84,12 @@ def bench_frontend_and_ate() -> dict:
 
     # ATE of the full pipeline (loops + PGO) on the same sequence; the
     # engine's tracer/metrics capture the per-stage breakdown
-    # (§5.1/§5.5 — the reference logs each stage, we report them here)
+    # (§5.1/§5.5 — the reference logs each stage, we report them here).
+    # First run warms every compile cache; the breakdown is captured on
+    # the SECOND run so stage_ms is steady-state, not compilation.
     from mr_slam_tpu.runtime import observability as obs
 
+    pl.run([scans], cfg, origins=[origin])
     obs.tracer.stats.clear()
     obs.metrics.counters.clear()
     res = pl.run([scans], cfg, origins=[origin])

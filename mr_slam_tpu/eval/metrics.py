@@ -31,12 +31,13 @@ def _umeyama_align(est_t: jax.Array, true_t: jax.Array, mask: jax.Array):
     mu_t = jnp.sum(true_t * w, axis=0) / n
     E = (est_t - mu_e) * w
     T = (true_t - mu_t) * w
-    H = E.T @ T / n
+    _P = jax.lax.Precision.HIGHEST
+    H = jnp.matmul(E.T, T, precision=_P) / n
     U, S, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    d = jnp.sign(jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_P)))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d]))
-    R = Vt.T @ D @ U.T
-    t = mu_t - R @ mu_e
+    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_P), U.T, precision=_P)
+    t = mu_t - jnp.matmul(R, mu_e, precision=_P)
     return R, t
 
 
@@ -53,13 +54,17 @@ def ate(
     est_R = est.R
     if align:
         R, t = _umeyama_align(est.t, true.t, mask)
-        est_t = est.t @ R.T + t
-        est_R = jnp.einsum("ab,nbc->nac", R, est.R)
+        _P = jax.lax.Precision.HIGHEST
+        est_t = jnp.matmul(est.t, R.T, precision=_P) + t
+        est_R = jnp.einsum("ab,nbc->nac", R, est.R, precision=_P)
     w = mask.astype(jnp.float32)
     nvalid = jnp.maximum(jnp.sum(w), 1.0)
     d2 = jnp.sum((est_t - true.t) ** 2, axis=-1) * w
     rot_err = jnp.linalg.norm(
-        so3.log(jnp.einsum("nab,ncb->nac", est_R, true.R)), axis=-1
+        so3.log(jnp.einsum(
+            "nab,ncb->nac", est_R, true.R,
+            precision=jax.lax.Precision.HIGHEST,
+        )), axis=-1
     ) * w
     return ATEResult(
         rmse=jnp.sqrt(jnp.sum(d2) / nvalid),

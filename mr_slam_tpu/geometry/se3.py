@@ -15,6 +15,11 @@ import jax.numpy as jnp
 
 from . import so3
 
+# Pose math runs at explicit f32 matmul precision ALWAYS: 3x3 chains
+# are MXU-irrelevant but bf16 rounding (~4e-3/entry) compounds into
+# metre-level error over long compositions (see precision.py).
+_P = jax.lax.Precision.HIGHEST
+
 
 class Pose(NamedTuple):
     """Rigid transform: x_world = R @ x_local + t.
@@ -63,12 +68,15 @@ def from_xyzrpy(v: jax.Array) -> Pose:
 
 def compose(a: Pose, b: Pose) -> Pose:
     """a ∘ b (apply b first, then a)."""
-    return Pose(a.R @ b.R, jnp.einsum("...ij,...j->...i", a.R, b.t) + a.t)
+    return Pose(
+        jnp.matmul(a.R, b.R, precision=_P),
+        jnp.einsum("...ij,...j->...i", a.R, b.t, precision=_P) + a.t,
+    )
 
 
 def inverse(p: Pose) -> Pose:
     Rt = jnp.swapaxes(p.R, -1, -2)
-    return Pose(Rt, -jnp.einsum("...ij,...j->...i", Rt, p.t))
+    return Pose(Rt, -jnp.einsum("...ij,...j->...i", Rt, p.t, precision=_P))
 
 
 def between(a: Pose, b: Pose) -> Pose:
@@ -79,7 +87,7 @@ def between(a: Pose, b: Pose) -> Pose:
 
 def apply(p: Pose, xyz: jax.Array) -> jax.Array:
     """Transform points (..., N, 3) by pose (..., 3, 3)/(..., 3)."""
-    return jnp.einsum("...ij,...nj->...ni", p.R, xyz) + p.t[..., None, :]
+    return jnp.einsum("...ij,...nj->...ni", p.R, xyz, precision=_P) + p.t[..., None, :]
 
 
 def exp(xi: jax.Array) -> Pose:
@@ -98,8 +106,10 @@ def exp(xi: jax.Array) -> Pose:
         small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta)
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), R.shape)
-    V = eye + b[..., None, None] * W + c[..., None, None] * (W @ W)
-    return Pose(R, jnp.einsum("...ij,...j->...i", V, rho))
+    V = eye + b[..., None, None] * W + c[..., None, None] * jnp.matmul(
+        W, W, precision=_P
+    )
+    return Pose(R, jnp.einsum("...ij,...j->...i", V, rho, precision=_P))
 
 
 def log(p: Pose) -> jax.Array:
@@ -118,8 +128,10 @@ def log(p: Pose) -> jax.Array:
         / jnp.maximum(theta2, 1e-12),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), W.shape)
-    Vinv = eye - 0.5 * W + cot_term[..., None, None] * (W @ W)
-    rho = jnp.einsum("...ij,...j->...i", Vinv, p.t)
+    Vinv = eye - 0.5 * W + cot_term[..., None, None] * jnp.matmul(
+        W, W, precision=_P
+    )
+    rho = jnp.einsum("...ij,...j->...i", Vinv, p.t, precision=_P)
     return jnp.concatenate([rho, phi], axis=-1)
 
 

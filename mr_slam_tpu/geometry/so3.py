@@ -12,6 +12,10 @@ import jax.numpy as jnp
 
 _EPS = 1e-8
 
+# Rotation math at explicit f32 matmul precision always — bf16 MXU
+# rounding compounds over composition chains (see precision.py).
+_P = jax.lax.Precision.HIGHEST
+
 
 def hat(w: jax.Array) -> jax.Array:
     """(..., 3) -> (..., 3, 3) skew-symmetric matrix."""
@@ -46,7 +50,9 @@ def exp(w: jax.Array) -> jax.Array:
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+    return eye + a[..., None, None] * W + b[..., None, None] * jnp.matmul(
+        W, W, precision=_P
+    )
 
 
 def log(R: jax.Array) -> jax.Array:
@@ -90,12 +96,12 @@ def project(R: jax.Array) -> jax.Array:
     (`evaluation_utils.cpp:217-331`).
     """
     U, _, Vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(U @ Vt)
+    det = jnp.linalg.det(jnp.matmul(U, Vt, precision=_P))
     D = jnp.concatenate(
         [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
         axis=-1,
     )
-    return (U * D[..., None, :]) @ Vt
+    return jnp.matmul(U * D[..., None, :], Vt, precision=_P)
 
 
 def quat_to_rot(q: jax.Array) -> jax.Array:

@@ -23,6 +23,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..precision import fast
+
 
 class RingParams(NamedTuple):
     n_angles: int = 120   # sinogram rows (theta)
@@ -63,6 +65,7 @@ def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     )
 
 
+@fast
 @partial(jax.jit, static_argnames=("n_angles",))
 def radon(bev: jax.Array, n_angles: int = 120) -> jax.Array:
     """Parallel-beam Radon transform of (H, W) -> sinogram (n_angles, W):
@@ -74,6 +77,7 @@ def radon(bev: jax.Array, n_angles: int = 120) -> jax.Array:
     return jnp.sum(rotated, axis=-2)
 
 
+@fast
 @partial(jax.jit, static_argnames=("n_angles", "upsize"))
 def radon_mxu(bev: jax.Array, n_angles: int = 120, upsize: int = 256) -> jax.Array:
     """MXU/FFT Radon — no gathers, the TPU-native lowering.
@@ -165,6 +169,7 @@ def _radon_dispatch(bev: jax.Array, n_angles: int) -> jax.Array:
     return radon(bev, n_angles)
 
 
+@fast
 @partial(jax.jit, static_argnames=("n_angles",))
 def describe(bev: jax.Array, n_angles: int = 120) -> RingDescriptor:
     """BEV (H, W) (or (C, H, W) multi-channel for RING++, channels
@@ -184,6 +189,7 @@ class RingPPDescriptor(NamedTuple):
     tirings: jax.Array    # (C, A, W) per-channel |FFT_row|
 
 
+@fast
 @partial(jax.jit, static_argnames=("n_angles",))
 def describe_ringpp(feature_bev: jax.Array, n_angles: int = 120) -> RingPPDescriptor:
     """RING++ (`util.py:204-250`): per-channel Radon of the eigen-feature
@@ -199,6 +205,7 @@ def describe_ringpp(feature_bev: jax.Array, n_angles: int = 120) -> RingPPDescri
     return RingPPDescriptor(sinograms=sino, tirings=tiring)
 
 
+@fast
 @jax.jit
 def correlate_multichannel(query: jax.Array, database: jax.Array):
     """Multi-channel circular correlation: query (C, A, W) vs database
@@ -216,6 +223,7 @@ def correlate_multichannel(query: jax.Array, database: jax.Array):
     return dist, shift
 
 
+@fast
 @jax.jit
 def correlate(query: jax.Array, database: jax.Array):
     """Circular cross-correlation over the angle axis between a query

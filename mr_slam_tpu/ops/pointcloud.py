@@ -92,7 +92,10 @@ def crop_radius(pc: PointCloud, center, radius: float) -> PointCloud:
 
 def transform(pc: PointCloud, pose) -> PointCloud:
     """Rigid transform of valid points (sentinels re-parked)."""
-    xyz = jnp.einsum("...ij,...nj->...ni", pose.R, pc.xyz) + pose.t[..., None, :]
+    xyz = jnp.einsum(
+        "...ij,...nj->...ni", pose.R, pc.xyz,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + pose.t[..., None, :]
     return park(PointCloud(xyz, pc.mask))
 
 

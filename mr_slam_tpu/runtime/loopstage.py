@@ -46,6 +46,7 @@ from ..geometry.se3 import Pose
 from ..loop import ring
 from ..ops import pointcloud as pcl
 from ..ops import registration, voxel_grid
+from ..precision import fast
 from . import observability as obs
 from .config import SlamConfig
 
@@ -59,6 +60,7 @@ CHUNK = 8
 # --------------------------------------------------------------------------
 
 
+@fast
 @partial(jax.jit, static_argnames=("cfg", "same_robot"))
 def retrieve(
     descs_q: dict,
