@@ -107,7 +107,7 @@ def scan(
     t = jnp.minimum(t_ground, t_box)
     hit = jnp.isfinite(t) & (t <= max_range) & (t > 0.5)
     t = jnp.where(hit, t, max_range)
-    if key is not None and noise > 0:
+    if key is not None:  # noise is traced under jit; zero noise is a no-op
         t = t + noise * jax.random.normal(key, t.shape)
     pts_w = o + t[..., None] * dirs_w
     # back to body frame

@@ -226,7 +226,7 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
             -jnp.concatenate([jnp.einsum("ni,n,n->i", J, r, w), jnp.zeros(9)])
             - Pinv @ x_prior
         )
-        dx = jnp.linalg.solve(H + 1e-8 * jnp.eye(15), b)
+        dx = linalg3.solve_psd(H + 1e-8 * jnp.eye(15), b)
         R_new = so3.exp(dx[0:3]) @ R
         return (
             (R_new, p + dx[3:6], v + dx[6:9], bg + dx[9:12], ba + dx[12:15]),

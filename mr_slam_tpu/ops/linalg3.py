@@ -151,3 +151,46 @@ def plane_fit(points: jax.Array, weights: jax.Array | None = None):
     normal = V[..., :, 0]  # smallest-eigenvalue direction
     dist = -jnp.sum(normal * mean, axis=-1)
     return normal, dist, mean
+
+
+def solve_psd(A: jax.Array, b: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Unrolled LDL^T solve of (..., n, n) @ x = (..., n) for SMALL
+    static n (Gauss-Newton 6x6, IEKF 15/21x21).
+
+    `jnp.linalg.solve` lowers tiny systems to a batched LU that runs as
+    sequential scalar pivoting on TPU — measured as the dominant cost of
+    the VGICP inner loop (the reference burns the equivalent time inside
+    Ceres/Eigen on CPU, `laserOdometry.cpp:287-503`). The unrolled LDL^T
+    is pure element-wise VPU arithmetic over the batch, fuses with the
+    surrounding GN math, and needs no pivoting for the damped PSD
+    normal-equation matrices used everywhere here.
+    """
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    D = [None] * n
+    Dinv = [None] * n
+    for j in range(n):
+        d = A[..., j, j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k] * D[k]
+        d = jnp.where(d > eps, d, eps)  # PSD guard (all-masked batches)
+        D[j] = d
+        Dinv[j] = 1.0 / d
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k] * D[k]
+            L[i][j] = s * Dinv[j]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i] * Dinv[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s
+    return jnp.stack(x, axis=-1)

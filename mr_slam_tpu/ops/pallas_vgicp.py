@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import se3
 from ..geometry.se3 import Pose
-from . import voxel_grid
+from . import linalg3, voxel_grid
 from .pointcloud import PointCloud
 from .registration import RegistrationResult, fitness
 from ..precision import accurate
@@ -144,7 +144,9 @@ def _accum_kernel(scalars_ref, pts_ref, mask_ref, table_ref, out_ref):
     a12 = cxy * cxz - cxx * cyz
     a22 = cxx * cyy - cxy * cxy
     det = cxx * a00 + cxy * a01 + cxz * a02
-    inv_det = w / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    # relative PSD det floor (see registration._gn_terms_from_rows)
+    det_floor = 1e-5 * cxx * cyy * czz
+    inv_det = jnp.where(det > det_floor, w / jnp.maximum(det, 1e-30), 0.0)
     w00 = a00 * inv_det
     w01 = a01 * inv_det
     w02 = a02 * inv_det
@@ -338,7 +340,7 @@ def vgicp_batch(
         )
         diag = jnp.einsum("bii->b", H) / 6.0
         lam = (damping * diag + 1e-6)[:, None, None]
-        dx = jnp.linalg.solve(H + lam * jnp.eye(6), b[..., None])[..., 0]
+        dx = linalg3.solve_psd(H + lam * jnp.eye(6), b)
         new_pose = se3.compose(se3.exp(dx), pose)  # batched left retract
         return (new_pose, jnp.float32(0.0)), (cost, n_in)
 
@@ -375,7 +377,7 @@ def vgicp(
             max_corr_dist=max_corr_dist, interpret=interpret,
         )
         lam = damping * jnp.mean(jnp.diagonal(H)) + 1e-9
-        dx = jnp.linalg.solve(H + lam * jnp.eye(6) + 1e-6 * jnp.eye(6), b)
+        dx = linalg3.solve_psd(H + lam * jnp.eye(6) + 1e-6 * jnp.eye(6), b)
         new_pose = se3.compose(se3.exp(dx), pose)
         return (new_pose, jnp.linalg.norm(dx)), (
             cost / jnp.maximum(n_in, 1.0), n_in

@@ -54,7 +54,7 @@ def _gn_update(H: jax.Array, b: jax.Array, damping: float) -> jax.Array:
     diag = jnp.diagonal(H, axis1=-2, axis2=-1)
     lam = damping * jnp.mean(diag, axis=-1)[..., None, None] + 1e-9
     Hd = H + lam * jnp.eye(6, dtype=H.dtype)
-    return jnp.linalg.solve(Hd, b)
+    return linalg3.solve_psd(Hd, b)
 
 
 # (row, col) order of the 21 upper-triangle entries emitted by
@@ -88,7 +88,17 @@ def _gn_terms_direct1(
     Returns (H (6,6), b (6,), cost (), inliers ()).
     """
     rows, found = voxel_grid.lookup_rows(grid, tp, "direct1")
-    return _gn_terms_from_rows(tp, mask, rows[:, 0, :], found[:, 0], max_corr2, eps)
+    return _gn_terms_from_rows(
+        tp, mask, rows[:, 0, :], found[:, 0], max_corr2, eps
+    )
+
+
+def _uncenter(dx_c: jax.Array, center: jax.Array) -> jax.Array:
+    """Convert a centered GN update (rho_c, phi) back to the origin
+    parameterization: p + rho_c + phi x (p - c) = p + rho + phi x p
+    with rho = rho_c + c x phi."""
+    rho = dx_c[..., 0:3] + jnp.cross(center, dx_c[..., 3:6])
+    return jnp.concatenate([rho, dx_c[..., 3:6]], axis=-1)
 
 
 def _gn_terms_from_rows(
@@ -98,6 +108,7 @@ def _gn_terms_from_rows(
     found: jax.Array,     # (N,) bool
     max_corr2: jax.Array,
     eps: float = 1e-6,
+    center: jax.Array | None = None,
 ):
     """GN accumulation against CACHED correspondences (no gather).
 
@@ -106,15 +117,26 @@ def _gn_terms_from_rows(
     on the 32x4096 loop-verification batch vs <0.2 ms for the whole
     fused GN math). Caching rows across inner iterations is the classic
     ICP split: associate in the outer loop, optimize the fixed-
-    correspondence quadratic in the inner loop."""
-    x, y, z = tp[:, 0], tp[:, 1], tp[:, 2]
+    correspondence quadratic in the inner loop.
+
+    `center`: optional linearization center c. The rotational update is
+    parameterized about c (J = [-I | hat(tp - c)]), which keeps the
+    6x6 normal equations well-conditioned in f32 for clouds far from
+    the origin (uncentered, the E-block entries grow as |p|^2 and f32
+    cancellation can make the accumulated H indefinite). The caller must
+    convert the solved update back: rho = rho_c + cross(c, phi)."""
+    xr, yr, zr = tp[:, 0], tp[:, 1], tp[:, 2]  # residual coords (world)
+    if center is None:
+        x, y, z = xr, yr, zr
+    else:
+        x, y, z = xr - center[0], yr - center[1], zr - center[2]
     mu0, mu1, mu2 = rows[:, 4], rows[:, 5], rows[:, 6]
     cxx = rows[:, 7] + eps
     cyy = rows[:, 8] + eps
     czz = rows[:, 9] + eps
     cxy, cxz, cyz = rows[:, 10], rows[:, 11], rows[:, 12]
 
-    r0, r1, r2 = mu0 - x, mu1 - y, mu2 - z
+    r0, r1, r2 = mu0 - xr, mu1 - yr, mu2 - zr
     d2 = r0 * r0 + r1 * r1 + r2 * r2
     w = jnp.where(found & mask & (d2 < max_corr2), 1.0, 0.0)
 
@@ -126,7 +148,13 @@ def _gn_terms_from_rows(
     a12 = cxy * cxz - cxx * cyz
     a22 = cxx * cyy - cxy * cxy
     det = cxx * a00 + cxy * a01 + cxz * a02
-    inv_det = w / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    # PSD guard: true det of (cov + eps I) is positive, but f32
+    # cancellation can compute a tiny NEGATIVE det for near-singular
+    # cells; inverting through it injects +-1e10 negative-definite junk
+    # into H. The floor is relative (Hadamard bound scale); cells whose
+    # det falls under it are degenerate (thin/few-point) — drop them.
+    det_floor = 1e-5 * cxx * cyy * czz
+    inv_det = jnp.where(det > det_floor, w / jnp.maximum(det, 1e-30), 0.0)
     w00, w01, w02 = a00 * inv_det, a01 * inv_det, a02 * inv_det
     w11, w12, w22 = a11 * inv_det, a12 * inv_det, a22 * inv_det
 
@@ -288,22 +316,31 @@ def _vgicp_direct1(
     mid-round — the next outer round picks those up)."""
     max_corr2 = jnp.float32(max_corr_dist) ** 2
     outer = -(-iters // inner)
+    # Linearization center: masked source centroid (f32 conditioning of
+    # the 6x6 normal equations — see _gn_terms_from_rows). Fixed across
+    # iterations; the pose moves points by <~ the convergence basin so
+    # the init-frame centroid stays representative.
+    wm = source.mask.astype(jnp.float32)
+    centroid = jnp.sum(source.xyz * wm[:, None], 0) / jnp.maximum(
+        jnp.sum(wm), 1.0
+    )
 
     def outer_step(carry, _):
         pose, _prev = carry
         tp0 = se3.apply(pose, source.xyz)
         rows, found = voxel_grid.lookup_rows(target, tp0, "direct1")
         rows, found = rows[:, 0, :], found[:, 0]
+        c = se3.apply(pose, centroid[None, :])[0]
 
         def inner_step(icarry, _):
             ipose, _iprev = icarry
             tp = se3.apply(ipose, source.xyz)
             H, b, cost, n_in = _gn_terms_from_rows(
-                tp, source.mask, rows, found, max_corr2
+                tp, source.mask, rows, found, max_corr2, center=c
             )
-            dx = _gn_update(H + 1e-6 * jnp.eye(6), b, damping)
-            new_pose = se3.compose(se3.exp(dx), ipose)
-            return (new_pose, jnp.linalg.norm(dx)), (
+            dx_c = _gn_update(H + 1e-6 * jnp.eye(6), b, damping)
+            new_pose = se3.compose(se3.exp(_uncenter(dx_c, c)), ipose)
+            return (new_pose, jnp.linalg.norm(dx_c)), (
                 cost / jnp.maximum(n_in, 1.0), n_in
             )
 
