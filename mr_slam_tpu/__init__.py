@@ -30,7 +30,14 @@ __version__ = "0.1.0"
 # pipeline, ATE 0.54 m under default precision vs 0.057 m under f32 on
 # a v5e chip — see precision.py). Correctness is the default;
 # throughput-critical descriptor batches opt back into bf16 explicitly
-# via `precision.fast`.
+# via `precision.fast`. An embedding application that set its own
+# default (jax config API or the JAX_DEFAULT_MATMUL_PRECISION env var)
+# keeps it — the SLAM hot paths are protected by their own per-op
+# HIGHEST pins and the @accurate wrappers regardless.
+import os as _os
+
 import jax as _jax
 
-_jax.config.update("jax_default_matmul_precision", "float32")
+if (_jax.config.jax_default_matmul_precision is None
+        and "JAX_DEFAULT_MATMUL_PRECISION" not in _os.environ):
+    _jax.config.update("jax_default_matmul_precision", "float32")

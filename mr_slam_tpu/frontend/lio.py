@@ -6,22 +6,34 @@ measurement model is an OpenMP loop of per-point ikd-tree 5-NN plane
 residuals (`laserMapping.cpp:634-766`), IMU forward-propagation +
 backward undistortion (`IMU_Processing.hpp:65`), and ikd-tree insertion.
 
-The TPU formulation is a 15-dof error-state filter
-dx = [dphi, dp, dv, dbg, dba] (left/world-frame rotation perturbation
-R_true = exp(dphi) R_hat; gravity is estimated once at rest by
-`imu_init` — the reference's `IMU_init`, `IMU_Processing.hpp:64` — and
-held fixed, dropping IKFoM's S2 gravity manifold refinement):
+The TPU formulation is a 21-dof error-state filter
+dx = [dphi, dp, dv, dbg, dba, dphi_e, dp_e] (left/world-frame rotation
+perturbation R_true = exp(dphi) R_hat; (dphi_e, dp_e) perturb the
+lidar-IMU extrinsic R_li <- exp(dphi_e) R_li, t_li <- t_li + dp_e —
+the reference's online-calibrated extrinsic states in `use-ikfom.hpp`'s
+23-state. Gravity is estimated once at rest by `imu_init` — the
+reference's `IMU_init`, `IMU_Processing.hpp:64` — and held fixed,
+dropping IKFoM's S2 gravity manifold refinement; the residual gravity
+error after a rest init is <~0.1 deg, far below the extrinsic mount
+errors the online calibration absorbs, and the trade is documented by
+tests/test_lio.py's gravity-tilt failure envelope):
 
   * `propagate` integrates the IMU packet with a per-sample first-order
-    covariance propagation P <- F P F^T + Q (a `lax.scan` of 15x15
-    matmuls — free next to the point kernels);
+    covariance propagation P <- F P F^T + Q (a `lax.scan` of 21x21
+    matmuls — free next to the point kernels); the extrinsic block is
+    constant (no process noise — it is a calibration, not a dynamic
+    state);
   * `update` runs the iterated measurement update as MAP Gauss-Newton
     with the propagated prior:  ||dx||^2_{P^-1} + sum_i ||h_i||^2_R.
-    Point-to-plane residuals touch only (R, p); velocity and the biases
+    Point-to-plane residuals touch (R, p) and — when
+    `estimate_extrinsics` — (R_li, t_li); velocity and the biases
     correct through the prior cross-covariances built during
     propagation (the same mechanism as the IKFoM update), and the
     posterior covariance contracts to (J^T W J + P^-1)^-1 — the
     information-form (I - KH) P.
+
+Frames: lidar scans stay in the LIDAR frame throughout; the filter pose
+(R, p) is world <- IMU/body; `lidar_pose()` composes the extrinsic in.
 """
 from __future__ import annotations
 
@@ -38,6 +50,8 @@ from ..precision import accurate
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81])
 
+_DOF = 21  # [dphi, dp, dv, dbg, dba, dphi_e, dp_e]
+
 
 class ImuSample(NamedTuple):
     gyro: jax.Array   # (..., 3) rad/s
@@ -46,18 +60,25 @@ class ImuSample(NamedTuple):
 
 
 class LioState(NamedTuple):
-    R: jax.Array      # (3, 3) world <- body
+    R: jax.Array      # (3, 3) world <- IMU body
     p: jax.Array      # (3,)
     v: jax.Array      # (3,)
     bg: jax.Array     # (3,) gyro bias
     ba: jax.Array     # (3,) accel bias
+    R_li: jax.Array   # (3, 3) IMU <- lidar extrinsic rotation
+    t_li: jax.Array   # (3,) IMU <- lidar extrinsic translation
     grav: jax.Array   # (3,) gravity vector, world frame
-    P: jax.Array      # (15, 15) error covariance [dphi, dp, dv, dbg, dba]
+    P: jax.Array      # (21, 21) error covariance
     grid: voxel_grid.VoxelGrid
     frame: jax.Array
 
     def pose(self) -> Pose:
+        """world <- IMU body."""
         return Pose(self.R, self.p)
+
+    def lidar_pose(self) -> Pose:
+        """world <- lidar: T_wb o T_bl."""
+        return Pose(self.R @ self.R_li, self.R @ self.t_li + self.p)
 
 
 class LioConfig(NamedTuple):
@@ -74,16 +95,48 @@ class LioConfig(NamedTuple):
     acc_noise: float = 1e-2        # PSD (m^2/s^3)
     bias_rw: float = 1e-5          # bias random-walk PSD
     lidar_noise: float = 0.05      # per-residual std (m)
+    estimate_extrinsics: bool = False  # online R_li/t_li refinement
+    extrinsic_prior: float = 1e-4  # initial extrinsic variance when
+                                   # estimating (rad^2 / m^2)
+    extrinsic_rw: float = 1e-7     # tiny extrinsic random walk: keeps the
+                                   # calibration plastic instead of frozen
+                                   # by the first (weakly-observable)
+                                   # posterior contraction
+    extrinsic_step: float = 2e-3   # trust region: max extrinsic correction
+                                   # per GN iteration (rad / m). The scan-
+                                   # to-map measurement cannot separate
+                                   # dphi from R dphi_e within one heading;
+                                   # unclamped, registration error of the
+                                   # (self-built, initially-distorted) map
+                                   # dumps into the extrinsic and feeds
+                                   # back through inserts. Clamped, the
+                                   # extrinsic converges as a slow servo
+                                   # on the persistent, heading-dependent
+                                   # part of the residual — the part only
+                                   # a true mount error produces.
 
 
-def init(config: LioConfig, origin: Pose | None = None) -> LioState:
+def init(
+    config: LioConfig,
+    origin: Pose | None = None,
+    extrinsic: Pose | None = None,
+) -> LioState:
+    """`extrinsic`: initial IMU <- lidar transform (the per-robot YAML
+    `extrinsic_R`/`extrinsic_T`, `FAST_LIO/config/*.yaml`); identity if
+    None. With `config.estimate_extrinsics` it is refined online from
+    `extrinsic_prior` uncertainty; otherwise held fixed."""
     if origin is None:
         origin = se3.identity()
-    P0 = jnp.eye(15) * 1e-2
+    if extrinsic is None:
+        extrinsic = se3.identity()
+    P0 = jnp.zeros((_DOF, _DOF)).at[:15, :15].set(jnp.eye(15) * 1e-2)
     # biases start uncertain so the update can pull them in
     P0 = P0.at[9:15, 9:15].set(jnp.eye(6) * 1e-3)
+    if config.estimate_extrinsics:
+        P0 = P0.at[15:21, 15:21].set(jnp.eye(6) * config.extrinsic_prior)
     return LioState(
-        R=origin.R, p=origin.t, v=jnp.zeros(3), bg=jnp.zeros(3), ba=jnp.zeros(3),
+        R=origin.R, p=origin.t, v=jnp.zeros(3), bg=jnp.zeros(3),
+        ba=jnp.zeros(3), R_li=extrinsic.R, t_li=extrinsic.t,
         grav=GRAVITY,
         P=P0,
         grid=voxel_grid.empty(config.map_leaf, config.table_size),
@@ -118,7 +171,8 @@ def propagate(state: LioState, imu: ImuSample, config: LioConfig):
       dphi' = dphi - R' dbg dt
       dp'   = dp + dv dt
       dv'   = dv - [R (a - ba)]x dphi dt - R dba dt
-    (left perturbation; biases random-walk), P <- F P F^T + Q."""
+    (left perturbation; biases random-walk; the extrinsic block is
+    constant), P <- F P F^T + Q."""
     I3 = jnp.eye(3)
 
     def step(carry, s):
@@ -131,7 +185,7 @@ def propagate(state: LioState, imu: ImuSample, config: LioConfig):
         p_new = p + v * s.dt + 0.5 * acc_w * s.dt**2
         v_new = v + acc_w * s.dt
         dt = s.dt
-        F = jnp.eye(15)
+        F = jnp.eye(_DOF)
         F = F.at[0:3, 9:12].set(-R_new * dt)
         F = F.at[3:6, 6:9].set(I3 * dt)
         F = F.at[6:9, 0:3].set(-so3.hat(R @ a) * dt)
@@ -141,6 +195,7 @@ def propagate(state: LioState, imu: ImuSample, config: LioConfig):
             jnp.full(3, 1e-8 * dt),
             jnp.full(3, config.acc_noise * dt),
             jnp.full(6, config.bias_rw * dt),
+            jnp.full(6, config.extrinsic_rw * dt),
         ])
         P_new = F @ P @ F.T + jnp.diag(qd)
         return (R_new, p_new, v_new, P_new), (R_new, p_new)
@@ -161,17 +216,25 @@ def undistort(
     R_end: jax.Array,
     p_end: jax.Array,
     imu_t: jax.Array,
+    R_li: jax.Array | None = None,
+    t_li: jax.Array | None = None,
 ):
-    """Motion-compensate points to the scan-end frame
+    """Motion-compensate LIDAR-frame points to the scan-end LIDAR frame
     (`UndistortPcl`): for each point at sweep time t, find the bracketing
-    propagated pose and re-express the point in the end pose."""
+    propagated IMU pose, map lidar -> IMU -> world, and re-express in
+    the end pose (then back to the lidar frame)."""
     k = jnp.clip(
         jnp.searchsorted(imu_t, point_time, side="right") - 1, 0, Rs.shape[0] - 1
     )
+    xyz = scan.xyz
+    if R_li is not None:
+        xyz = jnp.einsum("ab,nb->na", R_li, xyz) + t_li
     R_t = Rs[k]
     p_t = ps[k]
-    world = jnp.einsum("nab,nb->na", R_t, scan.xyz) + p_t
+    world = jnp.einsum("nab,nb->na", R_t, xyz) + p_t
     body_end = jnp.einsum("ba,nb->na", R_end, world - p_end[None])
+    if R_li is not None:
+        body_end = jnp.einsum("ba,nb->na", R_li, body_end - t_li[None])
     return pcl.park(pcl.PointCloud(body_end, scan.mask))
 
 
@@ -179,19 +242,25 @@ def undistort(
 @partial(jax.jit, static_argnames=("config",))
 def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
     """Iterated measurement update — MAP Gauss-Newton with the
-    propagated prior over the FULL 15-dof error state.
+    propagated prior over the FULL 21-dof error state.
 
-    Residuals: point-to-plane against the map with pooled-moment planes.
-    They constrain (dphi, dp) directly; (dv, dbg, dba) move through the
-    prior cross-covariances (how the IKFoM update corrects biases).
-    Posterior covariance contracts to (J^T W J + P^-1)^-1."""
-    P = state.P + 1e-9 * jnp.eye(15)
-    Pinv = jnp.linalg.inv(P)
+    Residuals: point-to-plane against the map with pooled-moment planes
+    on tp = R (R_li q + t_li) + p. They constrain (dphi, dp) directly
+    and, with `estimate_extrinsics`, (dphi_e, dp_e) via
+      de/dphi_e = (R_li q) x (R^T n),   de/dp_e = R^T n;
+    (dv, dbg, dba) move through the prior cross-covariances (how the
+    IKFoM update corrects biases). Posterior covariance contracts to
+    (J^T W J + P^-1)^-1."""
+    P = state.P + 1e-9 * jnp.eye(_DOF)
+    Pinv = linalg3.inv_psd_scaled(P)
     w_meas = 1.0 / (config.lidar_noise**2)
+    est_ext = config.estimate_extrinsics
+    M = 12 if est_ext else 6  # measured error-state columns
 
     def body(carry, _):
-        R, p, v, bg, ba = carry
-        tp = jnp.einsum("ab,nb->na", R, scan_ds.xyz) + p
+        R, p, v, bg, ba, R_li, t_li, _H = carry
+        s_b = jnp.einsum("ab,nb->na", R_li, scan_ds.xyz) + t_li  # IMU frame
+        tp = jnp.einsum("ab,nb->na", R, s_b) + p
         found, cnt, mu, Cv = voxel_grid.lookup(state.grid, tp, "direct7")
         wk = jnp.where(found, cnt, 0.0)
         wsum = jnp.sum(wk, axis=-1)
@@ -212,35 +281,66 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
         w = ok.astype(jnp.float32) * w_meas
         r = jnp.sum(n * (tp - mu_p), axis=-1)
         # Perturbation R <- exp(dphi) R, p <- p + dp (rotation does NOT
-        # act on p): de/dphi = n . (dphi x R q) = (R q x n) . dphi
-        rot_pt = tp - p  # R q
-        J = jnp.concatenate([jnp.cross(rot_pt, n), n], axis=-1)  # (N, 6)
+        # act on p): de/dphi = n . (dphi x R s) = (R s x n) . dphi
+        rot_pt = tp - p  # R s_b
+        cols = [jnp.cross(rot_pt, n), n]
+        if est_ext:
+            n_body = jnp.einsum("ba,nb->na", R, n)  # R^T n
+            # de/dphi_e = n . (R (dphi_e x R_li q)) = (R_li q x R^T n) . dphi_e
+            cols.append(jnp.cross(s_b - t_li, n_body))
+            cols.append(n_body)
+        J = jnp.concatenate(cols, axis=-1)  # (N, M)
         JtWJ = jnp.einsum("ni,nj,n->ij", J, J, w)
-        H = Pinv.at[0:6, 0:6].add(JtWJ)
+        H = Pinv
+        H = H.at[0:6, 0:6].add(JtWJ[0:6, 0:6])
+        if est_ext:
+            H = H.at[0:6, 15:21].add(JtWJ[0:6, 6:12])
+            H = H.at[15:21, 0:6].add(JtWJ[6:12, 0:6])
+            H = H.at[15:21, 15:21].add(JtWJ[6:12, 6:12])
         # prior residual: accumulated deviation from the propagated state
         x_prior = jnp.concatenate([
             so3.log(R @ state.R.T), p - state.p, v - state.v,
             bg - state.bg, ba - state.ba,
+            so3.log(R_li @ state.R_li.T), t_li - state.t_li,
         ])
-        b = (
-            -jnp.concatenate([jnp.einsum("ni,n,n->i", J, r, w), jnp.zeros(9)])
-            - Pinv @ x_prior
-        )
-        dx = linalg3.solve_psd(H + 1e-8 * jnp.eye(15), b)
+        Jtr = jnp.einsum("ni,n,n->i", J, r, w)
+        b_meas = jnp.zeros(_DOF).at[0:6].set(Jtr[0:6])
+        if est_ext:
+            b_meas = b_meas.at[15:21].set(Jtr[6:12])
+        b = -b_meas - Pinv @ x_prior
+        dx = linalg3.solve_psd_scaled(H + 1e-8 * jnp.eye(_DOF), b)
         R_new = so3.exp(dx[0:3]) @ R
+        if est_ext:
+            cap = config.extrinsic_step
+
+            def clamp(u):
+                nrm = jnp.linalg.norm(u)
+                return u * jnp.minimum(1.0, cap / jnp.maximum(nrm, 1e-12))
+
+            R_li_new = so3.exp(clamp(dx[15:18])) @ R_li
+            t_li_new = t_li + clamp(dx[18:21])
+        else:
+            R_li_new, t_li_new = R_li, t_li
         return (
-            (R_new, p + dx[3:6], v + dx[6:9], bg + dx[9:12], ba + dx[12:15]),
-            (jnp.sum(ok), H),
+            (R_new, p + dx[3:6], v + dx[6:9], bg + dx[9:12], ba + dx[12:15],
+             R_li_new, t_li_new, H),
+            jnp.sum(ok),
         )
 
-    (R, p, v, bg, ba), (inliers, Hs) = jax.lax.scan(
-        body, (state.R, state.p, state.v, state.bg, state.ba), None,
-        length=config.iters,
+    carry0 = (
+        state.R, state.p, state.v, state.bg, state.ba,
+        state.R_li, state.t_li, Pinv,
+    )
+    (R, p, v, bg, ba, R_li, t_li, H_last), inliers = jax.lax.scan(
+        body, carry0, None, length=config.iters,
     )
     # information-form covariance contraction at the converged estimate
-    P_post = jnp.linalg.inv(Hs[-1] + 1e-8 * jnp.eye(15))
+    # (H carried, not stacked — only the final-iterate H is live)
+    P_post = linalg3.inv_psd_scaled(H_last + 1e-8 * jnp.eye(_DOF))
     P_post = 0.5 * (P_post + P_post.T)
-    state2 = state._replace(R=R, p=p, v=v, bg=bg, ba=ba, P=P_post)
+    state2 = state._replace(
+        R=R, p=p, v=v, bg=bg, ba=ba, R_li=R_li, t_li=t_li, P=P_post
+    )
     return state2, inliers[-1]
 
 
@@ -254,10 +354,14 @@ def step(
     config: LioConfig,
 ):
     """One lidar-inertial frame: propagate -> undistort -> iterated
-    update -> map insert/decay."""
+    update -> map insert/decay. `scan` is in the LIDAR frame; the map
+    and pose are world/IMU — the extrinsic is composed in here."""
     state, (Rs, ps) = propagate(state, imu, config)
     imu_t = jnp.cumsum(imu.dt) - imu.dt
-    und = undistort(scan, point_time, Rs, ps, state.R, state.p, imu_t)
+    und = undistort(
+        scan, point_time, Rs, ps, state.R, state.p, imu_t,
+        R_li=state.R_li, t_li=state.t_li,
+    )
     ds = pcl.voxel_downsample(
         und, config.scan_leaf, config.scan_capacity,
         bounds=((-150.0, -150.0, -150.0), (150.0, 150.0, 150.0)),
@@ -275,7 +379,7 @@ def step(
         und, config.insert_leaf, config.insert_capacity,
         bounds=((-150.0, -150.0, -150.0), (150.0, 150.0, 150.0)),
     )
-    world = pcl.transform(fine, Pose(state.R, state.p))
+    world = pcl.transform(fine, state.lidar_pose())
     grid = voxel_grid.insert(state.grid, world)
     grid = voxel_grid.decay(grid, state.p, config.map_radius)
     state = state._replace(grid=grid, frame=state.frame + 1)

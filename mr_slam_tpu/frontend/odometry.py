@@ -66,13 +66,14 @@ def init(config: OdometryConfig, origin: Pose | None = None) -> OdometryState:
 
 
 @accurate
-@partial(jax.jit, static_argnames=("config", "scan_period"))
+@partial(jax.jit, static_argnames=("config", "scan_period", "shed"))
 def step(
     state: OdometryState,
     scan: pcl.PointCloud,
     config: OdometryConfig,
     t_rel: jax.Array | None = None,
     scan_period: float = 0.1,
+    shed: bool = False,
 ):
     """Process one lidar frame (body-frame cloud). Returns
     (new_state, diagnostics dict).
@@ -82,7 +83,14 @@ def step(
     the scan is motion-compensated to the sweep-start frame with the
     constant-velocity prediction BEFORE registration — A-LOAM's
     `TransformToStart` (`laserOdometry.cpp:112-123`). Without it the
-    scan is treated as instantaneous (synthetic data)."""
+    scan is treated as instantaneous (synthetic data).
+
+    `shed`: skip the map-refinement half (fine insert + decay) — the
+    two-rate / load-shedding mode. A-LOAM's architecture: frame-to-
+    frame odometry every frame, map refinement at lower rate, frames
+    dropped from mapping under load (`laserMapping.cpp:303`). The pose
+    still registers against the existing map; only map growth is
+    deferred to the next unshed frame."""
     # Constant-velocity prediction: pose * (prev^-1 * pose)
     motion = se3.between(state.prev_pose, state.pose)
     pred = se3.compose(state.pose, motion)
@@ -126,20 +134,25 @@ def step(
     new_pose, err, inliers = jax.lax.cond(
         state.frame > 0, register, first_frame, None
     )
-    # Insert a finer cloud than the registration cloud so map cells
-    # carry real covariance structure (several points per cell) — the
-    # analogue of FAST-LIO feeding the full-resolution scan to ikd-tree
-    # while registering the downsampled one.
-    fine = pcl.voxel_downsample(
-        scan, config.insert_leaf, config.insert_capacity,
-        bounds=((-150.0, -150.0, -150.0), (150.0, 150.0, 150.0)),
-    )
-    world_pts = pcl.transform(fine, new_pose)
-    grid = voxel_grid.insert(state.grid, world_pts)
-    grid = voxel_grid.decay(grid, new_pose.t, config.map_radius)
-    coarse_pts = pcl.transform(ds, new_pose)
-    coarse_grid = voxel_grid.insert(state.coarse_grid, coarse_pts)
-    coarse_grid = voxel_grid.decay(coarse_grid, new_pose.t, config.map_radius)
+    if shed:
+        grid, coarse_grid = state.grid, state.coarse_grid
+    else:
+        # Insert a finer cloud than the registration cloud so map cells
+        # carry real covariance structure (several points per cell) — the
+        # analogue of FAST-LIO feeding the full-resolution scan to
+        # ikd-tree while registering the downsampled one.
+        fine = pcl.voxel_downsample(
+            scan, config.insert_leaf, config.insert_capacity,
+            bounds=((-150.0, -150.0, -150.0), (150.0, 150.0, 150.0)),
+        )
+        world_pts = pcl.transform(fine, new_pose)
+        grid = voxel_grid.insert(state.grid, world_pts)
+        grid = voxel_grid.decay(grid, new_pose.t, config.map_radius)
+        coarse_pts = pcl.transform(ds, new_pose)
+        coarse_grid = voxel_grid.insert(state.coarse_grid, coarse_pts)
+        coarse_grid = voxel_grid.decay(
+            coarse_grid, new_pose.t, config.map_radius
+        )
     new_state = OdometryState(
         grid=grid, coarse_grid=coarse_grid, pose=new_pose,
         prev_pose=state.pose, frame=state.frame + 1,

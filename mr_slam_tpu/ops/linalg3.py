@@ -194,3 +194,24 @@ def solve_psd(A: jax.Array, b: jax.Array, eps: float = 1e-12) -> jax.Array:
             s = s - L[k][i] * x[k]
         x[i] = s
     return jnp.stack(x, axis=-1)
+
+
+def inv_psd_scaled(A: jax.Array, eps: float = 1e-20) -> jax.Array:
+    """Symmetric-Jacobi-scaled inverse of an SPD matrix: D inv(DAD) D
+    with D = diag(A)^-1/2. In f32 a raw `inv` loses the small-eigenvalue
+    structure of badly-scaled information matrices (an IEKF H mixes
+    ~1e8 point-measurement blocks with ~1e2 prior blocks; cond ~1e6-7);
+    scaling to unit diagonal first keeps the cross-covariances that
+    carry observability."""
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(A, axis1=-2, axis2=-1), eps, None))
+    Dinv = 1.0 / d
+    As = A * Dinv[..., :, None] * Dinv[..., None, :]
+    return jnp.linalg.inv(As) * Dinv[..., :, None] * Dinv[..., None, :]
+
+
+def solve_psd_scaled(A: jax.Array, b: jax.Array, eps: float = 1e-20):
+    """`solve_psd` with the same symmetric Jacobi scaling."""
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(A, axis1=-2, axis2=-1), eps, None))
+    Dinv = 1.0 / d
+    As = A * Dinv[..., :, None] * Dinv[..., None, :]
+    return solve_psd(As, b * Dinv) * Dinv

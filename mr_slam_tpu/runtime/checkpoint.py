@@ -127,6 +127,13 @@ def save_session(session, path: str) -> None:
         arrays["loops.t"] = np.stack(
             [np.asarray(l["rel"].t) for l in session.loops]
         )
+    if session._inter_candidates:
+        arrays["cands.R"] = np.stack(
+            [np.asarray(l["rel"].R) for l in session._inter_candidates]
+        )
+        arrays["cands.t"] = np.stack(
+            [np.asarray(l["rel"].t) for l in session._inter_candidates]
+        )
     manifest = {
         "config": session.cfg.to_json(),
         "enable_gem": session.enable_gem,
@@ -138,6 +145,19 @@ def save_session(session, path: str) -> None:
         "loops": [
             {k: v for k, v in l.items() if k != "rel"} for l in session.loops
         ],
+        "inter_candidates": [
+            {k: v for k, v in l.items() if k != "rel"}
+            for l in session._inter_candidates
+        ],
+        "searched": [
+            [ra, rb, sorted(map(list, pairs))]
+            for (ra, rb), pairs in session._searched.items()
+        ],
+        "sched": {
+            "loop": session._last_loop_stamp,
+            "compose": session._last_compose_stamp,
+            "tf": session._last_tf_stamp,
+        },
     }
     arrays["manifest"] = np.frombuffer(
         json.dumps(manifest).encode(), dtype=np.uint8
@@ -206,4 +226,19 @@ def load_session(path: str):
         )
         loops.append({**l, "rel": rel})
     sess.loops = loops
+    cands = []
+    for i, l in enumerate(manifest.get("inter_candidates", [])):
+        rel = Pose(
+            jnp.asarray(data["cands.R"][i]), jnp.asarray(data["cands.t"][i])
+        )
+        cands.append({**l, "rel": rel})
+    sess._inter_candidates = cands
+    sess._searched = {
+        (ra, rb): {tuple(p) for p in pairs}
+        for ra, rb, pairs in manifest.get("searched", [])
+    }
+    sched = manifest.get("sched", {})
+    sess._last_loop_stamp = sched.get("loop")
+    sess._last_compose_stamp = sched.get("compose")
+    sess._last_tf_stamp = sched.get("tf")
     return sess

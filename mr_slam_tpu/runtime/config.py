@@ -27,6 +27,12 @@ class OdometryCfg:
     map_radius: float = 120.0
     iters: int = 8
     max_corr_dist: float = 1.0
+    # lidar-IMU extrinsic (LIO front-end): 16 floats, row-major 4x4
+    # IMU <- lidar transform (the per-robot `extrinsic_R`/`extrinsic_T`
+    # YAML entries, `FAST_LIO/config/*.yaml`); None = identity
+    extrinsic: tuple[float, ...] | None = None
+    estimate_extrinsics: bool = False  # refine R_li/t_li online (the
+                                       # reference's 23-state IKFoM path)
 
 
 @dataclass(frozen=True)
@@ -52,6 +58,12 @@ class LoopCfg:
     w_trans: float = 10.0
     pcm_threshold: float = 2.204    # chi2 @ 6dof, pcm_thresh 0.10
     use_pcm: bool = True
+    # per-KEYFRAME-step odometry drift PSD entering the PCM cycle
+    # covariance (pcm.consistency_matrix): long cycles tolerate
+    # proportionally more inconsistency. 0 = the reference's fixed
+    # identity covariance.
+    pcm_odo_drift_t: float = 0.02   # m / keyframe step
+    pcm_odo_drift_r: float = 0.002  # rad / keyframe step
     crop_xy: float = 60.0           # +-x/y crop of merged verify submaps
                                     # (`global_manager.cpp:1916-1926`)
     bev_z_min: float = 0.0          # BEV z floor (body frame); raise to
@@ -93,6 +105,33 @@ class ElevationCfg:
 
 
 @dataclass(frozen=True)
+class SchedulerCfg:
+    """Online-session cadences — the reference's launch-configured
+    thread rates (`global_manager.launch:39-48`: composing 3 Hz, TF
+    10 Hz, loop detection 0.1 Hz, graph pub 1 Hz) plus A-LOAM's
+    load-shedding soft deadline (`A-LOAM/src/laserMapping.cpp:303`
+    drops mapping frames under load; `scanRegistration.cpp:477-478`
+    warns past 100 ms).
+
+    Keyframe-count and stamp-based loop cadences are both supported;
+    either firing runs the loop stage. Stamp cadences use the frame
+    stamps fed to `add_frame` (bag time), not wall clock, so replays
+    are deterministic."""
+    loop_every_kf: int = 3       # loop stage every N new keyframes
+    loop_period_s: float = 0.0   # ... or by stamp cadence (0 = off)
+    compose_period_s: float = 0.0  # merged-map composing cadence (0 = off)
+    tf_period_s: float = 0.0     # map->odom TF snapshot cadence (0 = off)
+    map_every: int = 1           # two-rate odometry: full map insert every
+                                 # Nth frame (A-LOAM's 10 Hz odometry vs
+                                 # lower-rate mapping split); between, the
+                                 # registration map is left untouched
+    frame_budget_s: float = 0.0  # odometry soft deadline (0 = off)
+    shed: bool = False           # past-deadline frames shed their map
+                                 # insert (counted in metrics) instead of
+                                 # silently lagging
+
+
+@dataclass(frozen=True)
 class RobotOverlay:
     """Per-robot override — the reference's per-robot mechanisms rolled
     into one typed overlay: FAST-LIO per-robot sensor YAMLs
@@ -117,6 +156,7 @@ class SlamConfig:
     loops: LoopCfg = field(default_factory=LoopCfg)
     pgo: PGOCfg = field(default_factory=PGOCfg)
     elevation: ElevationCfg = field(default_factory=ElevationCfg)
+    scheduler: SchedulerCfg = field(default_factory=SchedulerCfg)
     overlays: tuple[RobotOverlay, ...] = ()
 
     def replace(self, **kw) -> "SlamConfig":
@@ -178,5 +218,6 @@ class SlamConfig:
             loops=sub(LoopCfg, "loops"),
             pgo=sub(PGOCfg, "pgo"),
             elevation=sub(ElevationCfg, "elevation"),
+            scheduler=sub(SchedulerCfg, "scheduler"),
             overlays=overlays,
         )

@@ -47,13 +47,30 @@ class OnlineSlam:
         self.robots: dict[int, dict] = {}    # per-robot odometry/GEM state
         self.rows: dict[int, int] = {}       # robot id -> mstore row
         self.mstore: Optional[mstore_lib.MultiRobotStore] = None
+        # `self.graph` holds ONLY the odometry chains; accepted loop
+        # edges live in `self.loops` and are composed in as one batched
+        # scatter at optimize time (`_graph_with_loops`) — no host-side
+        # edge compaction between rounds
         self.graph = fg.init(cfg.pgo.node_capacity, cfg.pgo.edge_capacity)
         self.node_of: dict[tuple[int, int], int] = {}
         self.loops: list[dict] = []
         self._pending_kf: list[tuple[int, int]] = []  # (robot, kf index)
+        # (robot_a, robot_b) -> {(kf_a, kf_b)} already verified — the
+        # incremental exclude sets (symmetric entries kept both ways)
+        self._searched: dict[tuple[int, int], set] = {}
+        self._inter_candidates: list[dict] = []  # every verified inter loop
         self.opt_poses: Optional[Pose] = None
-        self.loop_every = 3  # keyframes between loop-stage runs
+        self.loop_every = cfg.scheduler.loop_every_kf
         self.enable_gem = enable_gem  # per-robot rolling elevation maps
+        # scheduler state (stamp-driven cadences + deadline monitor)
+        from ..geometry.tf_tree import TransformBuffer
+
+        self.tf = TransformBuffer()
+        self.merged_map: Optional[pcl.PointCloud] = None
+        self._last_loop_stamp: Optional[float] = None
+        self._last_compose_stamp: Optional[float] = None
+        self._last_tf_stamp: Optional[float] = None
+        self._over_budget_prev = False  # last frame blew the deadline
 
     # -- batched-store plumbing ----------------------------------------
     def _kf_capacity(self) -> int:
@@ -92,23 +109,30 @@ class OnlineSlam:
             )
             self.rows[robot] = 0
             return 0
-        # grow by one row (host-side realloc; rare — robot discovery)
-        self.mstore = jax.tree.map(
-            lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])]), self.mstore
-        )
-        # fresh KeyframeStore rows need their sentinel/identity fields
-        single = jax.tree.map(
-            lambda a: a[0],
-            mstore_lib.init(
-                1, self._kf_capacity(), self._points_per_kf(), desc_dim=0
-            ).stores,
-        )
-        row = self.mstore.desc_valid.shape[0] - 1
-        self.mstore = self.mstore._replace(
-            stores=jax.tree.map(
-                lambda b, s: b.at[row].set(s), self.mstore.stores, single
+        # Geometric growth: when every allocated row is used, DOUBLE the
+        # row count in one realloc (amortized O(1) per joining robot,
+        # instead of an O(R * store) realloc per discovery); spare rows
+        # sit pre-initialized until claimed.
+        row = len(self.rows)
+        allocated = self.mstore.desc_valid.shape[0]
+        if row >= allocated:
+            grow = allocated  # double
+            self.mstore = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((grow, *a.shape[1:]), a.dtype)]
+                ),
+                self.mstore,
             )
-        )
+            # fresh KeyframeStore rows need their sentinel/identity fields
+            spare = mstore_lib.init(
+                grow, self._kf_capacity(), self._points_per_kf(), desc_dim=0
+            ).stores
+            self.mstore = self.mstore._replace(
+                stores=jax.tree.map(
+                    lambda b, s: b.at[allocated:].set(s),
+                    self.mstore.stores, spare,
+                )
+            )
         self.rows[robot] = row
         return row
 
@@ -130,7 +154,8 @@ class OnlineSlam:
 
             rs = dict(
                 frontend="lio",
-                odo=lio.init(pl._lio_config(rcfg), origin),
+                odo=lio.init(pl._lio_config(rcfg), origin,
+                             extrinsic=pl._lio_extrinsic(rcfg)),
                 odo_cfg=pl._lio_config(rcfg),
                 kf_cfg=rcfg.keyframes,
                 frame=0,
@@ -184,12 +209,22 @@ class OnlineSlam:
         scalar syncs/s — negligible against the per-frame compute; the
         offline path (`pipeline._frontend_fused`) folds even this into
         its lax.scan."""
+        import time as _time
+
         from . import observability as obs
 
         if robot not in self.robots:
             self.register_robot(robot)
         rs = self.robots[robot]
         row = self.rows[robot]
+        sched = self.cfg.scheduler
+        # two-rate + load-shed decision (scan2map only; never frame 0 or
+        # the frame right after a registered keyframe — map must grow)
+        shed = rs["frontend"] == "scan2map" and rs["frame"] > 0 and (
+            (sched.map_every > 1 and rs["frame"] % sched.map_every != 0)
+            or (sched.shed and self._over_budget_prev)
+        )
+        t_frame0 = _time.perf_counter()
         with obs.tracer.span("online.frontend"):
             if rs["frontend"] == "lio":
                 from ..frontend import lio
@@ -219,7 +254,7 @@ class OnlineSlam:
                 pose = rs["odo"].pose()
             else:
                 rs["odo"], _ = odometry.step(
-                    rs["odo"], scan, rs["odo_cfg"], t_rel=times
+                    rs["odo"], scan, rs["odo_cfg"], t_rel=times, shed=shed
                 )
                 pose = rs["odo"].pose
             self.mstore, added, k = mstore_lib.gate_and_add(
@@ -240,9 +275,101 @@ class OnlineSlam:
         if self.enable_gem:
             with obs.tracer.span("online.gem"):
                 self._gem_tick(rs, scan, pose)
+        if shed:
+            obs.metrics.inc("frontend.frames_shed")
         if added:
-            self._on_keyframe(robot, int(k))
+            self._on_keyframe(robot, int(k), stamp)
+        # ---- deadline monitor (A-LOAM soft-deadline/drop analogue) ----
+        if sched.frame_budget_s > 0.0:
+            dt_frame = _time.perf_counter() - t_frame0
+            self._over_budget_prev = dt_frame > sched.frame_budget_s
+            if self._over_budget_prev:
+                obs.metrics.inc("frontend.frames_over_budget")
+        # ---- stamp-driven cadences (composing 3 Hz / TF 10 Hz / loop
+        # 0.1 Hz in the reference launch) -------------------------------
+        if sched.loop_period_s > 0.0 and self._pending_kf:
+            if (self._last_loop_stamp is None
+                    or stamp - self._last_loop_stamp >= sched.loop_period_s):
+                self._last_loop_stamp = stamp
+                self.run_loop_stage()
+        if sched.tf_period_s > 0.0:
+            if (self._last_tf_stamp is None
+                    or stamp - self._last_tf_stamp >= sched.tf_period_s):
+                self._last_tf_stamp = stamp
+                self.publish_tf(stamp)
+        if sched.compose_period_s > 0.0:
+            if (self._last_compose_stamp is None
+                    or stamp - self._last_compose_stamp
+                    >= sched.compose_period_s):
+                self._last_compose_stamp = stamp
+                with obs.tracer.span("online.compose"):
+                    self.merged_map = self.compose_map()
+                obs.metrics.inc("compose.runs")
         return pose
+
+    # -- cadence products ------------------------------------------------
+    def publish_tf(self, stamp: float) -> None:
+        """Write the current map->odom correction per robot into the
+        session's tf2-analogue buffer (`publishTF`,
+        `global_manager.cpp:2242-2276`: /map -> robot_N/odom from
+        mapTF[i]). Correction = optimized(latest kf) o odom(latest kf)^-1;
+        identity until the first optimization."""
+        from . import observability as obs
+
+        for r in self.robots:
+            store, _ = self.store_view(r)
+            K = int(store.count)
+            if K == 0:
+                continue
+            node = self.node_of.get((r, K - 1))
+            if self.opt_poses is not None and node is not None:
+                opt = se3.index(self.opt_poses, node)
+                odom = se3.index(store.poses, K - 1)
+                corr = se3.compose(opt, se3.inverse(odom))
+            else:
+                corr = se3.identity()
+            self.tf.set_transform(
+                "map", f"robot_{r}/odom", stamp,
+                np.asarray(corr.R), np.asarray(corr.t),
+            )
+        obs.metrics.inc("tf.publishes")
+
+    def compose_map(
+        self, leaf: float = 0.5, capacity: int = 1 << 17
+    ) -> pcl.PointCloud:
+        """Merged global cloud from the CURRENT session state (keyframes
+        re-transformed by optimized poses where available) — the
+        composing-thread product (`composeGlobalMap`,
+        `global_manager.cpp:2090-2236`)."""
+        parts_xyz, parts_mask = [], []
+        for r in self.robots:
+            store, _ = self.store_view(r)
+            K = int(store.count)
+            if K == 0:
+                continue
+            ids = np.asarray(
+                [self.node_of.get((r, k), -1) for k in range(K)]
+            )
+            if self.opt_poses is not None and (ids >= 0).all():
+                poses = Pose(
+                    self.opt_poses.R[ids], self.opt_poses.t[ids]
+                )
+            else:
+                poses = se3.index(store.poses, jnp.arange(K))
+            pts = (
+                jnp.einsum("kab,kpb->kpa", poses.R, store.xyz[:K])
+                + poses.t[:, None, :]
+            )
+            parts_xyz.append(pts.reshape(-1, 3))
+            parts_mask.append(store.mask[:K].reshape(-1))
+        if not parts_xyz:
+            return pcl.park(
+                pcl.PointCloud(jnp.zeros((1, 3)), jnp.zeros((1,), bool))
+            )
+        merged = pcl.park(pcl.PointCloud(
+            jnp.concatenate(parts_xyz), jnp.concatenate(parts_mask)
+        ))
+        return pcl.voxel_downsample(merged, leaf, capacity)
 
     # -- per-robot rolling GEM -------------------------------------------
     def _gem_tick(self, rs: dict, scan: pcl.PointCloud, pose: Pose) -> None:
@@ -311,7 +438,7 @@ class OnlineSlam:
                 emap = elevation.fuse(emap, world, var)
         return emap
 
-    def _on_keyframe(self, robot: int, k: int) -> None:
+    def _on_keyframe(self, robot: int, k: int, stamp: float = 0.0) -> None:
         from . import observability as obs
 
         rs = self.robots[robot]
@@ -350,7 +477,9 @@ class OnlineSlam:
             self.mstore, jnp.int32(row), jnp.int32(k), one
         )
         self._pending_kf.append((robot, k))
-        if len(self._pending_kf) >= self.loop_every:
+        if (self.loop_every > 0
+                and len(self._pending_kf) >= self.loop_every):
+            self._last_loop_stamp = stamp
             self.run_loop_stage()
 
     # -- loop stage -----------------------------------------------------
@@ -371,11 +500,9 @@ class OnlineSlam:
         # session, even when BOTH ends are pending this round (the batch
         # pipeline gets this for free from its rb <= ra sweep). Same-
         # robot pairs are additionally deduped by loopstage's strict
-        # lower-triangle retrieval mask.
-        searched = {
-            frozenset(((l["robot_a"], l["kf_a"]), (l["robot_b"], l["kf_b"])))
-            for l in self.loops
-        }
+        # lower-triangle retrieval mask. `self._searched` keeps the
+        # per-robot-pair exclude sets incrementally (O(new loops) per
+        # round, not a rebuild over every historical loop).
         by_robot: dict[int, list[int]] = {}
         for ra, ia in pending:
             by_robot.setdefault(ra, []).append(ia)
@@ -383,29 +510,25 @@ class OnlineSlam:
             store_a, descs_a = self.store_view(ra)
             # fixed-length query batch -> one compiled retrieval program
             # per (pair, batch-size) instead of one dispatch per query
-            Q = max(self.loop_every, len(ias))
+            Q = max(self.loop_every, len(ias), 1)
             qi = np.full((Q,), -1, np.int64)
             qi[: len(ias)] = ias
             for rb in self.robots:
                 store_b, descs_b = self.store_view(rb)
                 if int(store_b.count) == 0:
                     continue
-                exclude = {
-                    (a_kf, b_kf)
-                    for pair in searched
-                    for (r1, a_kf) in pair
-                    for (r2, b_kf) in pair
-                    if r1 == ra and r2 == rb
-                }
+                exclude = self._searched.setdefault((ra, rb), set())
                 found = loopstage.search_pair_loops(
                     store_a, descs_a, store_b, descs_b, cfg,
                     same_robot=(ra == rb), query_idx=qi, exclude=exclude,
                 )
                 for l in found:
-                    pair = frozenset(((ra, l["kf_a"]), (rb, l["kf_b"])))
-                    if pair in searched:
+                    if (l["kf_a"], l["kf_b"]) in exclude:
                         continue
-                    searched.add(pair)
+                    exclude.add((l["kf_a"], l["kf_b"]))
+                    self._searched.setdefault((rb, ra), set()).add(
+                        (l["kf_b"], l["kf_a"])
+                    )
                     new_loops.append(
                         dict(robot_a=ra, kf_a=l["kf_a"], robot_b=rb,
                              kf_b=l["kf_b"], rel=l["rel"],
@@ -413,10 +536,18 @@ class OnlineSlam:
                     )
         if not new_loops:
             return 0
-        # PCM over ALL inter-robot loops (old + new), re-gated per robot
-        # pair on every optimization round (`distributed_pcm.cpp:53-58`)
-        inter = [l for l in self.loops + new_loops if l["robot_a"] != l["robot_b"]]
-        intra = [l for l in self.loops + new_loops if l["robot_a"] == l["robot_b"]]
+        # PCM over ALL inter-robot candidates ever verified (old + new,
+        # including previously-rejected ones — consistency can emerge as
+        # evidence accumulates), re-gated per robot pair on every
+        # optimization round (`distributed_pcm.cpp:53-58`)
+        self._inter_candidates.extend(
+            l for l in new_loops if l["robot_a"] != l["robot_b"]
+        )
+        inter = list(self._inter_candidates)
+        intra = [
+            l for l in self.loops + new_loops
+            if l["robot_a"] == l["robot_b"]
+        ]
 
         def pose_of(r, k):
             store, _ = self.store_view(r)
@@ -426,34 +557,18 @@ class OnlineSlam:
             kept = pl.pcm_gate_inter_loops(inter, pose_of, cfg)
         obs.metrics.inc("online.pcm_rejected", len(inter) - len(kept))
         self.loops = intra + kept
-        self._rebuild_loop_edges()
         with obs.tracer.span("online.solve"):
             self.optimize()
             jax.block_until_ready(self.opt_poses.t)
         return len(new_loops)
 
-    def _rebuild_loop_edges(self) -> None:
-        """Reset loop edges to the currently-accepted set (odometry
-        edges stay; loop edges are re-written from self.loops)."""
-        g = self.graph
-        keep = np.asarray(g.edge_kind[: int(g.n_edges)]) == fg.ODOM
-        n_odom = int(keep.sum())
-        # compact: odometry edges first (they were added in order)
-        valid = np.zeros(g.edge_capacity, bool)
-        valid[: int(g.n_edges)] = keep
-        order = np.argsort(~valid, kind="stable")
-        take = lambda a: a[jnp.asarray(order)]
-        self.graph = g._replace(
-            edge_i=take(g.edge_i), edge_j=take(g.edge_j),
-            edge_meas=Pose(take(g.edge_meas.R), take(g.edge_meas.t)),
-            edge_kind=take(g.edge_kind),
-            edge_w_rot=take(g.edge_w_rot), edge_w_trans=take(g.edge_w_trans),
-            edge_valid=jnp.asarray(np.sort(valid)[::-1].copy()),
-            n_edges=jnp.int32(n_odom),
-        )
+    def _graph_with_loops(self) -> fg.FactorGraph:
+        """Compose the persistent odometry graph with the currently-
+        accepted loop edges — ONE batched device scatter, no host-side
+        edge compaction (the persistent graph never holds loop edges,
+        so 'rebuilding' them is just not writing the rejected ones)."""
         if not self.loops:
-            return
-        # one batched scatter for all loop edges
+            return self.graph
         ei = jnp.asarray(
             [self.node_of[(l["robot_a"], l["kf_a"])] for l in self.loops],
             jnp.int32,
@@ -470,19 +585,21 @@ class OnlineSlam:
             jnp.int32,
         )
         meas = se3.inverse(se3.stack([l["rel"] for l in self.loops]))
-        self.graph, _ = fg.add_edges_batch(
+        g, _ = fg.add_edges_batch(
             self.graph, ei, ej, meas, kinds,
             jnp.full((len(self.loops),), self.cfg.loops.w_rot, jnp.float32),
             jnp.full((len(self.loops),), self.cfg.loops.w_trans, jnp.float32),
         )
+        return g
 
     def optimize(self) -> None:
-        anchors = np.zeros(self.graph.node_capacity, bool)
+        g = self._graph_with_loops()
+        anchors = np.zeros(g.node_capacity, bool)
         for r in self.robots:
             if (r, 0) in self.node_of:
                 anchors[self.node_of[(r, 0)]] = True
         self.opt_poses = chordal.optimize(
-            self.graph, jnp.asarray(anchors),
+            g, jnp.asarray(anchors),
             chordal.PGOConfig(
                 rot_cg_iters=self.cfg.pgo.rot_cg_iters,
                 gn_iters=self.cfg.pgo.gn_iters,
@@ -519,6 +636,7 @@ class OnlineSlam:
         if self.opt_poses is None:
             self.optimize()
         return pl.SlamResult(
-            robots=robots, graph=self.graph, opt_poses=self.opt_poses,
+            robots=robots, graph=self._graph_with_loops(),
+            opt_poses=self.opt_poses,
             node_of=node_of, loops=self.loops,
         )

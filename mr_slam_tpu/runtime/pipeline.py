@@ -65,7 +65,16 @@ def _lio_config(cfg: SlamConfig):
         map_leaf=o.map_leaf, insert_leaf=o.insert_leaf, scan_leaf=o.scan_leaf,
         scan_capacity=o.scan_capacity, insert_capacity=o.insert_capacity,
         table_size=o.table_size, map_radius=o.map_radius,
+        estimate_extrinsics=o.estimate_extrinsics,
     )
+
+
+def _lio_extrinsic(cfg: SlamConfig):
+    """OdometryCfg.extrinsic 4x4 tuple -> Pose (or None)."""
+    if cfg.odometry.extrinsic is None:
+        return None
+    T = np.asarray(cfg.odometry.extrinsic, np.float32).reshape(4, 4)
+    return Pose(jnp.asarray(T[:3, :3]), jnp.asarray(T[:3, 3]))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -90,7 +99,7 @@ def _frontend_fused_lio(
 
     gyro, acc, dts = imu
     lcfg = _lio_config(cfg)
-    state0 = lio.init(lcfg, origin)
+    state0 = lio.init(lcfg, origin, extrinsic=_lio_extrinsic(cfg))
     store0 = kf.init(cfg.keyframes.capacity, cfg.keyframes.points_per_kf)
     # frame 0: no update, just gate the first keyframe at the origin
     scan0 = pcl.PointCloud(scans.xyz[0], scans.mask[0])
@@ -498,6 +507,12 @@ def pcm_gate_inter_loops(inter: list[dict], pose_of, cfg: SlamConfig) -> list[di
         keep = pcm.filter_loops(
             pa, pb, meas, np.ones(len(ls), bool),
             threshold=cfg.loops.pcm_threshold,
+            # drift-aware cycle covariance (see pcm.consistency_matrix)
+            idx_a=np.asarray([ea[1] for ea, _, _ in oriented]),
+            idx_b=np.asarray([eb[1] for _, eb, _ in oriented]),
+            odo_drift_t=cfg.loops.pcm_odo_drift_t,
+            odo_drift_r=cfg.loops.pcm_odo_drift_r,
+            step_len=cfg.keyframes.dist_thresh,
         )
         kept.extend(l for l, k in zip(ls, keep) if k)
     return kept
@@ -602,23 +617,30 @@ def run_backend(
 
     # ---- loop retrieval + verification (batched, O(R^2) dispatches) ------
     loops: list[dict] = []
+    # Each unordered pair once (ra==rb = self). INTER-robot pairs sweep
+    # first: they anchor the robots to each other (the whole point of
+    # the multi-robot system) and must not be starved of the max_loops
+    # budget by dense same-robot revisits on multi-lap runs.
+    pairs = sorted(
+        ((ra, rb) for ra in range(R) for rb in range(ra + 1)),
+        key=lambda p: p[0] == p[1],
+    )
     with obs.tracer.span("backend.associate"):
-        for ra in range(R):
-            for rb in range(ra + 1):  # each unordered pair once; ra==rb = self
-                if len(loops) >= cfg.loops.max_loops:
-                    break
-                found = loopstage.search_pair_loops(
-                    robots[ra].store, descs[ra], robots[rb].store, descs[rb],
-                    cfg, same_robot=(ra == rb),
-                )
-                for l in found:
-                    loops.append(
-                        dict(
-                            robot_a=ra, kf_a=l["kf_a"], robot_b=rb,
-                            kf_b=l["kf_b"], rel=l["rel"],
-                            fitness=l["fitness"], desc_dist=l["desc_dist"],
-                        )
+        for ra, rb in pairs:
+            if len(loops) >= cfg.loops.max_loops:
+                break
+            found = loopstage.search_pair_loops(
+                robots[ra].store, descs[ra], robots[rb].store, descs[rb],
+                cfg, same_robot=(ra == rb),
+            )
+            for l in found:
+                loops.append(
+                    dict(
+                        robot_a=ra, kf_a=l["kf_a"], robot_b=rb,
+                        kf_b=l["kf_b"], rel=l["rel"],
+                        fitness=l["fitness"], desc_dist=l["desc_dist"],
                     )
+                )
     loops = loops[: cfg.loops.max_loops]
     obs.metrics.inc("backend.loops_found", len(loops))
 

@@ -211,3 +211,140 @@ class TestGravityMisinit:
         small = self._run(jnp.deg2rad(2.0))
         large = self._run(jnp.deg2rad(15.0))
         assert large > small, (small, large)
+
+
+class TestExtrinsics:
+    """Online lidar-IMU extrinsic state (the reference's 23-state IKFoM
+    path, `use-ikfom.hpp`; config extrinsics `FAST_LIO/config/*.yaml`)."""
+
+    def _clean_grid(self, world, keys):
+        from mr_slam_tpu.ops import pointcloud as pcl, voxel_grid
+
+        clouds = []
+        for i in range(8):
+            p = se3.Pose(so3.yaw_rot(jnp.array(i * 0.8)),
+                         jnp.array([5.0, 0.0, 0.0]))
+            x2, _, h2 = synthetic.scan(
+                world, p, n_rings=16, n_azimuth=512, key=keys[i]
+            )
+            clouds.append(pcl.transform(synthetic.scan_to_cloud(x2, h2), p))
+        allc = jax.tree.map(lambda *a: jnp.concatenate(a), *clouds)
+        return voxel_grid.build(allc, 1.0, 1 << 17)
+
+    @pytest.mark.slow
+    def test_update_moves_extrinsic_toward_truth(self):
+        """With the TRUE pose and a clean map, one iterated update must
+        move R_li toward the true mount, never away."""
+        from mr_slam_tpu.ops import pointcloud as pcl
+        from mr_slam_tpu.geometry.se3 import Pose
+
+        world = synthetic.default_world(3)
+        keys = jax.random.split(jax.random.PRNGKey(0), 12)
+        grid = self._clean_grid(world, keys)
+        ext_true = Pose(so3.exp(jnp.deg2rad(jnp.array([2.0, -2.0, 0.0]))),
+                        jnp.zeros(3))
+        body = Pose(so3.yaw_rot(jnp.array(0.5)), jnp.array([5.0, 0.0, 0.0]))
+        xyz, _, hit = synthetic.scan(
+            world, se3.compose(body, ext_true), n_rings=16, n_azimuth=512,
+            key=keys[9],
+        )
+        ds = pcl.voxel_downsample(
+            synthetic.scan_to_cloud(xyz, hit), 0.4, 4096,
+            bounds=((-150.0, -150.0, -150.0), (150.0, 150.0, 150.0)),
+        )
+        config = lio.LioConfig(
+            table_size=1 << 17, iters=8, estimate_extrinsics=True,
+            extrinsic_prior=5e-3, extrinsic_step=1.0,
+        )
+        state = lio.init(config, body)._replace(grid=grid, frame=jnp.int32(1))
+        err0 = float(jnp.linalg.norm(so3.log(state.R_li @ ext_true.R.T)))
+        state2, inl = lio.update(state, ds, config)
+        err1 = float(jnp.linalg.norm(so3.log(state2.R_li @ ext_true.R.T)))
+        assert int(inl) > 200
+        assert err1 < err0, (
+            f"extrinsic moved away from truth: {err0:.4f} -> {err1:.4f}"
+        )
+
+    @pytest.mark.slow
+    def test_known_mount_tracks_like_identity(self):
+        """A config-supplied 10 deg / 10 cm mount (the per-robot YAML
+        extrinsic) must track as well as an identity mount — the frame
+        plumbing the 15-dof round-3 filter hard-coded away."""
+        from mr_slam_tpu.geometry.se3 import Pose
+
+        world = synthetic.default_world(3)
+        n = 15
+        traj = synthetic.circle_trajectory(n, radius=25.0, laps=0.05)
+        gyro, acc, dts = synthetic.imu_for_trajectory(
+            traj, frame_dt=0.1, n_sub=10
+        )
+        ext = Pose(so3.exp(jnp.deg2rad(jnp.array([10.0, 0.0, 5.0]))),
+                   jnp.array([0.1, -0.05, 0.1]))
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        config = lio.LioConfig(table_size=1 << 16, scan_capacity=4096, iters=4)
+        state = lio.init(config, se3.index(traj, 0), extrinsic=ext)
+        state = state._replace(v=(traj.t[1] - traj.t[0]) / 0.1)
+        for i in range(n - 1):
+            body = se3.index(traj, i + 1)
+            xyz, _, hit = synthetic.scan(
+                world, se3.compose(body, ext), n_rings=16, n_azimuth=512,
+                key=keys[i],
+            )
+            scan = synthetic.scan_to_cloud(xyz, hit)
+            pt_time = jnp.full((scan.xyz.shape[0],), 0.0999)
+            imu = lio.ImuSample(gyro=gyro[i], acc=acc[i], dt=dts[i])
+            state, _ = lio.step(state, scan, pt_time, imu, config)
+        err = float(jnp.linalg.norm(state.p - traj.t[-1]))
+        assert err < 0.5, f"known-mount LIO drift {err:.3f} m"
+
+    @pytest.mark.slow
+    def test_online_refinement_stays_stable(self):
+        """`estimate_extrinsics` with a small (0.5 deg) mount error: the
+        tight-prior online refinement must not destabilize tracking
+        (<= 1.5x the fixed-extrinsic error) and must not move the
+        calibration away from truth."""
+        from mr_slam_tpu.geometry.se3 import Pose
+
+        world = synthetic.default_world(3)
+        n = 20
+        traj = synthetic.circle_trajectory(n, radius=25.0, laps=0.1)
+        gyro, acc, dts = synthetic.imu_for_trajectory(
+            traj, frame_dt=0.1, n_sub=10
+        )
+        ext_true = Pose(so3.exp(jnp.deg2rad(jnp.array([0.4, -0.3, 0.0]))),
+                        jnp.array([0.02, 0.0, 0.0]))
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+
+        def run(est):
+            config = lio.LioConfig(
+                table_size=1 << 16, scan_capacity=4096, iters=4,
+                estimate_extrinsics=est,
+            )
+            state = lio.init(config, se3.index(traj, 0))
+            state = state._replace(v=(traj.t[1] - traj.t[0]) / 0.1)
+            for i in range(n - 1):
+                body = se3.index(traj, i + 1)
+                xyz, _, hit = synthetic.scan(
+                    world, se3.compose(body, ext_true), n_rings=16,
+                    n_azimuth=512, key=keys[i],
+                )
+                scan = synthetic.scan_to_cloud(xyz, hit)
+                pt_time = jnp.full((scan.xyz.shape[0],), 0.0999)
+                imu = lio.ImuSample(gyro=gyro[i], acc=acc[i], dt=dts[i])
+                state, _ = lio.step(state, scan, pt_time, imu, config)
+            perr = float(jnp.linalg.norm(state.p - traj.t[-1]))
+            aerr = float(jnp.linalg.norm(so3.log(state.R_li @ ext_true.R.T)))
+            return perr, aerr
+
+        p_off, a_off = run(False)
+        p_on, a_on = run(True)
+        assert p_on < max(1.5 * p_off, 0.3), (
+            f"extrinsic estimation destabilized tracking: {p_on:.3f} vs "
+            f"{p_off:.3f}"
+        )
+        # on a 20-frame run the refinement signal is below the noise
+        # floor; the guarantee at this horizon is BOUNDEDNESS (the
+        # round-4 failure mode was multi-degree runaway)
+        assert a_on <= a_off + jnp.deg2rad(0.25), (
+            f"calibration ran away: {jnp.rad2deg(a_on):.2f} deg"
+        )

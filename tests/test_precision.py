@@ -47,6 +47,19 @@ def test_geometry_ops_carry_explicit_precision():
     )
 
 
+def test_geometry_precision_pins_structural():
+    """Structural guard (effective on CPU CI, where the bf16 context is
+    a numeric no-op): the lowered HLO of `se3.compose` under a bf16
+    default must still carry the HIGHEST per-op precision pin."""
+    a = se3.Pose(so3.exp(jnp.ones((4, 3))), jnp.ones((4, 3)))
+    with jax.default_matmul_precision("bfloat16"):
+        txt = jax.jit(se3.compose).lower(a, a).as_text()
+    assert "HIGHEST" in txt, (
+        "se3.compose lost its precision=HIGHEST pin — dot ops would run "
+        "bf16 whenever an embedding app resets the matmul default"
+    )
+
+
 def test_fast_wrapper_round_trips():
     """`fast` must trace under the hardware default and preserve the
     wrapped function's output structure."""
