@@ -63,13 +63,9 @@ def bench_frontend_and_ate() -> dict:
     T = 40
     traj = synthetic.circle_trajectory(T, radius=22.0, laps=1.1)
     keys = jax.random.split(jax.random.PRNGKey(0), T)
-    scans = []
-    for i in range(T):
-        xyz, _, hit = synthetic.scan(
-            world, se3.index(traj, i), n_rings=32, n_azimuth=1024, key=keys[i]
-        )
-        scans.append(synthetic.scan_to_cloud(xyz, hit))
-    scans = jax.tree.map(lambda *x: jnp.stack(x), *scans)
+    scans = synthetic.scan_batch(
+        world, traj, keys, n_rings=32, n_azimuth=1024
+    )
     origin = se3.index(traj, 0)
 
     # frames/s: fused front-end (odometry + keyframe gating), compiled
@@ -89,10 +85,14 @@ def bench_frontend_and_ate() -> dict:
     # the SECOND run so stage_ms is steady-state, not compilation.
     from mr_slam_tpu.runtime import observability as obs
 
+    t0 = time.perf_counter()
     pl.run([scans], cfg, origins=[origin])
+    cold_s = time.perf_counter() - t0
     obs.tracer.stats.clear()
     obs.metrics.counters.clear()
+    t0 = time.perf_counter()
     res = pl.run([scans], cfg, origins=[origin])
+    warm_s = time.perf_counter() - t0
     kf_idx = res.robots[0].kf_frame_idx
     true_kf = se3.index(traj, jnp.asarray(kf_idx))
     ate = metrics.ate(res.optimized_trajectory(0), true_kf)
@@ -102,6 +102,10 @@ def bench_frontend_and_ate() -> dict:
     return {
         "frontend_fps": round(float(fps), 2),
         "ate_rmse_m": round(float(ate.rmse), 4),
+        # compile-inclusive vs steady-state pipeline wall time (the
+        # second run is what stage_ms decomposes)
+        "pipeline_cold_s": round(cold_s, 2),
+        "pipeline_warm_s": round(warm_s, 2),
         "ate_frames": int(T),
         "ate_loops": len(res.loops),
         "stage_ms": stage_ms,
@@ -224,49 +228,163 @@ def bench_loop_batching(K: int = 256) -> dict:
     return out
 
 
+def _pcm_gate_graph(g, threshold: float = 5.348,
+                    odo_drift_t: float = 0.05, odo_drift_r: float = 0.005,
+                    step_len: float = 2.2):
+    """The production pre-solve outlier gates at graph level:
+    (a) intra-robot loops against the odometry cycle
+        (`pcm.intra_cycle_distances` — the reference's odometry-space
+        sanity checks, `global_manager.cpp:1029-1094`);
+    (b) inter-robot loops through per-pair PCM (`distributed_pcm.cpp:
+        37-66`), both under the drift-aware cycle covariance.
+    Rejected edges get zero weight. Returns (gated graph, n_rejected).
+    `odo_drift_*` must be calibrated to the platform's odometry (the
+    per-deployment tuning the reference does through pcm_thresh)."""
+    import numpy as np
+
+    from mr_slam_tpu.backend import factor_graph as fg, pcm
+    from mr_slam_tpu.geometry import se3 as _se3
+    from mr_slam_tpu.geometry.se3 import Pose
+
+    E = int(g.n_edges)
+    kind = np.asarray(g.edge_kind[:E])
+    ei = np.asarray(g.edge_i[:E])
+    ej = np.asarray(g.edge_j[:E])
+    robot = np.asarray(g.node_robot)
+    w_rot = np.asarray(g.edge_w_rot).copy()
+    w_trans = np.asarray(g.edge_w_trans).copy()
+    rejected = 0
+    # ---- intra-robot loops: single-loop odometry-cycle gate ----------
+    intra = np.flatnonzero(kind == fg.INTRA_LOOP)
+    if intra.size:
+        ia = jnp.asarray(ei[intra])
+        ib = jnp.asarray(ej[intra])
+        from mr_slam_tpu.geometry.se3 import Pose as _Pose
+
+        d2 = np.asarray(pcm.intra_cycle_distances(
+            _se3.index(g.poses, ia), _se3.index(g.poses, ib),
+            _se3.index(g.edge_meas, jnp.asarray(intra)),
+            ia, ib, odo_drift_t=odo_drift_t, odo_drift_r=odo_drift_r,
+            step_len=step_len,
+        ))
+        bad = intra[d2 > threshold]
+        w_rot[bad] = 0.0
+        w_trans[bad] = 0.0
+        rejected += int(bad.size)
+    inter = np.flatnonzero(kind == fg.INTER_LOOP)
+    if inter.size <= 1:
+        return g._replace(
+            edge_w_rot=jnp.asarray(w_rot), edge_w_trans=jnp.asarray(w_trans)
+        ), rejected
+    pairs = {}
+    for e in inter:
+        key = tuple(sorted((int(robot[ei[e]]), int(robot[ej[e]]))))
+        pairs.setdefault(key, []).append(int(e))
+    for key, es in pairs.items():
+        if len(es) <= 1:
+            continue
+        es = np.asarray(es)
+        # canonical orientation: endpoint of robot key[0] first
+        flip = robot[ei[es]] != key[0]
+        ii = np.where(flip, ej[es], ei[es])
+        jj = np.where(flip, ei[es], ej[es])
+        meas = _se3.index(g.edge_meas, jnp.asarray(es))
+        meas_c = Pose(
+            jnp.where(jnp.asarray(flip)[:, None, None],
+                      jnp.swapaxes(meas.R, -1, -2), meas.R),
+            jnp.where(jnp.asarray(flip)[:, None],
+                      -jnp.einsum("nba,nb->na", meas.R, meas.t), meas.t),
+        )
+        keep = pcm.filter_loops(
+            _se3.index(g.poses, jnp.asarray(ii)),
+            _se3.index(g.poses, jnp.asarray(jj)),
+            meas_c, np.ones(len(es), bool), threshold=threshold,
+            # node ids are chain positions (contiguous per robot), so
+            # index gaps = odometry steps inside the cycle
+            idx_a=ii, idx_b=jj,
+            odo_drift_t=odo_drift_t, odo_drift_r=odo_drift_r,
+            step_len=step_len,
+        )
+        drop = es[~keep]
+        w_rot[drop] = 0.0
+        w_trans[drop] = 0.0
+        rejected += int((~keep).sum())
+    return g._replace(
+        edge_w_rot=jnp.asarray(w_rot), edge_w_trans=jnp.asarray(w_trans)
+    ), rejected
+
+
 def bench_ate_vs_reference() -> dict:
     """The accuracy north star (BASELINE.md: ATE <= 1.1x the reference
-    GTSAM-based optimizer): our chordal PGO vs an INDEPENDENT scipy TRF
-    SE(3) solver (`eval/reference_solver.py` — gtsam's stand-in) on a
-    named 510-node 3-robot graph with drift-realistic odometry and 60+
-    intra/inter loops (`eval/graphgen.multi_robot_graph(3, 170,
-    loop_stride=12, seed=0)`)."""
+    GTSAM-based optimizer), stressed where optimizers actually diverge:
+    a GRID of 3 seeds x {clean, 10% outlier loops, 3x drift} 510-node
+    3-robot graphs. Ours runs the production robust path (per-pair PCM
+    gate + Cauchy IRLS); the INDEPENDENT scipy TRF SE(3) solver
+    (`eval/reference_solver.py`, gtsam's stand-in) runs with its own
+    robust loss (soft_l1) on outlier regimes. Reports per-regime and
+    worst-case ratios."""
     import numpy as np
 
     from mr_slam_tpu.backend import chordal
     from mr_slam_tpu.eval import graphgen, reference_solver
 
-    g, true, anchors, _ = graphgen.multi_robot_graph(
-        n_robots=3, nodes_per_robot=170, loop_stride=12, seed=0
-    )
-    N = int(g.n_nodes)
-
-    def ate(t):
-        return float(jnp.sqrt(jnp.mean(jnp.sum((t[:N] - true.t) ** 2, -1))))
-
-    # reference-parity optimization budget (~gtsam's 200 GN iterations,
-    # `evaluation_utils.cpp:321`); the library default is sized for
-    # small online graphs — see PGOCfg docs
-    full = chordal.PGOConfig(rot_cg_iters=120, gn_iters=30, pose_cg_iters=120)
-    t0 = time.perf_counter()
-    ours_t = chordal.optimize(g, anchors, full).t
-    ours_t.block_until_ready()
-    ours_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ref = reference_solver.solve(g, anchors)
-    ref_s = time.perf_counter() - t0
-    a_ours, a_ref = ate(ours_t), ate(ref.t)
-    return {
-        "graph": "graphgen.multi_robot_graph(3x170, stride12, seed0)",
-        "nodes": N,
-        "edges": int(g.n_edges),
-        "ate_input_m": round(ate(g.poses.t), 4),
-        "ate_ours_m": round(a_ours, 4),
-        "ate_reference_m": round(a_ref, 4),
-        "ate_vs_reference_ratio": round(a_ours / max(a_ref, 1e-9), 3),
-        "ours_s": round(ours_s, 2),
-        "reference_s": round(ref_s, 2),
+    regimes = {
+        "clean": {},
+        "outliers10": {"outlier_frac": 0.10},
+        "drift3x": {"drift_t": 0.15, "drift_r": 0.012},
     }
+    # reference-parity optimization budget (~gtsam's 200 GN iterations,
+    # `evaluation_utils.cpp:321`)
+    full = chordal.PGOConfig(rot_cg_iters=120, gn_iters=30, pose_cg_iters=120)
+    seeds = (0, 1, 2) if jax.devices()[0].platform != "cpu" else (0,)
+    out = {"graph": f"multi_robot_graph(3x170, stride12) x seeds{seeds}"}
+    worst = 0.0
+    for name, kw in regimes.items():
+        ratios, a_ours_l, a_ref_l, ours_s, ref_s = [], [], [], 0.0, 0.0
+        rejected = 0
+        for seed in seeds:
+            g, true, anchors, _ = graphgen.multi_robot_graph(
+                n_robots=3, nodes_per_robot=170, loop_stride=12, seed=seed,
+                **kw,
+            )
+            N = int(g.n_nodes)
+
+            def ate(t):
+                return float(jnp.sqrt(jnp.mean(
+                    jnp.sum((t[:N] - true.t) ** 2, -1)
+                )))
+
+            t0 = time.perf_counter()
+            drift_t = kw.get("drift_t", 0.05)
+            drift_r = kw.get("drift_r", 0.004)
+            gated, rej = _pcm_gate_graph(
+                g, odo_drift_t=drift_t, odo_drift_r=drift_r
+            )
+            ours_t = chordal.optimize(gated, anchors, full).t
+            ours_t.block_until_ready()
+            ours_s += time.perf_counter() - t0
+            rejected += rej
+            t0 = time.perf_counter()
+            ref = reference_solver.solve(
+                g, anchors,
+                loss="soft_l1" if name == "outliers10" else "linear",
+            )
+            ref_s += time.perf_counter() - t0
+            a_o, a_r = ate(ours_t), ate(ref.t)
+            a_ours_l.append(a_o)
+            a_ref_l.append(a_r)
+            ratios.append(a_o / max(a_r, 1e-9))
+        worst = max(worst, max(ratios))
+        out[name] = {
+            "ate_ours_m": [round(a, 4) for a in a_ours_l],
+            "ate_reference_m": [round(a, 4) for a in a_ref_l],
+            "ratios": [round(r, 3) for r in ratios],
+            "pcm_rejected": rejected,
+            "ours_s": round(ours_s, 2),
+            "reference_s": round(ref_s, 2),
+        }
+    out["worst_ratio"] = round(worst, 3)
+    return out
 
 
 def bench_scaling() -> dict | None:
@@ -421,6 +539,25 @@ def main() -> None:
         extra["loop_batching"] = bench_loop_batching()
     except Exception as e:
         extra["loop_batching_error"] = repr(e)[:200]
+    # ---- long-horizon production-scale run (the north-star numbers:
+    # BASELINE.md measurement points / README Quick Demo scale). Heavy:
+    # ~10 min on the chip; LONGRUN_FRAMES=0 skips, default 500 on an
+    # accelerator and a CI-sized 60 on CPU. wall_s includes one cold
+    # compile of the fused front-end (~40 s) — steady-state cost is the
+    # stage_ms breakdown; frontend_fps is measured AFTER compile.
+    on_accel = jax.devices()[0].platform != "cpu"
+    frames = int(os.environ.get("LONGRUN_FRAMES", "500" if on_accel else "60"))
+    if frames > 0:
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "examples"),
+            )
+            import bench_longrun
+
+            extra["longrun"] = bench_longrun.run(frames, 3)
+        except Exception as e:
+            extra["longrun_error"] = repr(e)[:200]
     scaling = bench_scaling()
     if scaling is not None:
         extra["scaling"] = scaling

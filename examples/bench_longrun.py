@@ -36,17 +36,17 @@ from mr_slam_tpu.runtime.config import (
 )
 
 
-def main() -> None:
-    T = int(os.environ.get("FRAMES", "500"))
-    R = int(os.environ.get("ROBOTS", "3"))
-    rings, azimuth = 64, 1024
+def run(T: int = 500, R: int = 3, rings: int = 64,
+        azimuth: int = 1024) -> dict:
+    """Execute the long-horizon run; returns the result dict (also the
+    `longrun` extra of bench.py)."""
     cfg = SlamConfig(
         n_robots=R,
         odometry=OdometryCfg(scan_capacity=8192, insert_capacity=16384),
         keyframes=KeyframeCfg(dist_thresh=2.0, capacity=256,
                               points_per_kf=4096),
         loops=LoopCfg(dist_thresh=0.75, min_separation=8, candidates=2,
-                      fitness_thresh=0.15),
+                      fitness_thresh=0.15, max_loops=256),
         # reference-parity optimization budget for production-scale graphs
         pgo=PGOCfg(rot_cg_iters=120, gn_iters=30, pose_cg_iters=120,
                    node_capacity=1024, edge_capacity=4096),
@@ -61,17 +61,18 @@ def main() -> None:
     ]
 
     print(f"raycasting {R} x {T} frames at {rings}x{azimuth}...", flush=True)
+    CHUNK = 50  # frames per raycast dispatch (vs one round trip per frame)
     scans = []
     for r in range(R):
         keys = jax.random.split(jax.random.PRNGKey(r), T)
-        frames = []
-        for i in range(T):
-            xyz, _, hit = synthetic.scan(
-                world, se3.index(trajs[r], i), n_rings=rings,
-                n_azimuth=azimuth, noise=0.03, key=keys[i],
-            )
-            frames.append(synthetic.scan_to_cloud(xyz, hit))
-        scans.append(jax.tree.map(lambda *x: jnp.stack(x), *frames))
+        chunks = []
+        for i in range(0, T, CHUNK):
+            j = min(i + CHUNK, T)
+            chunks.append(synthetic.scan_batch(
+                world, se3.index(trajs[r], slice(i, j)), keys[i:j],
+                n_rings=rings, n_azimuth=azimuth, noise=0.03,
+            ))
+        scans.append(jax.tree.map(lambda *x: jnp.concatenate(x), *chunks))
 
     obs.tracer.stats.clear()
     obs.metrics.counters.clear()
@@ -106,7 +107,13 @@ def main() -> None:
             k: int(v) for k, v in sorted(obs.metrics.counters.items())
         },
     }
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    T = int(os.environ.get("FRAMES", "500"))
+    R = int(os.environ.get("ROBOTS", "3"))
+    print(json.dumps(run(T, R)))
 
 
 if __name__ == "__main__":

@@ -252,3 +252,33 @@ def shear_scan(
     t_s = s[:, None] * delta.t
     rec = jnp.einsum("nji,nj->ni", R_s, cloud.xyz - t_s)
     return park(PointCloud(rec, cloud.mask)), t_rel
+
+
+@partial(jax.jit, static_argnames=("n_rings", "n_azimuth"))
+def scan_batch(
+    world: World,
+    poses: Pose,            # batched (T,) poses
+    keys: jax.Array,        # (T, 2) PRNG keys
+    n_rings: int = 32,
+    n_azimuth: int = 512,
+    max_range: float = 80.0,
+    sensor_height: float = 0.8,
+    noise: float = 0.01,
+):
+    """Raycast a whole trajectory in ONE dispatch (vmapped `scan`).
+
+    Host loops calling `scan` per frame pay one device round trip per
+    frame — over a tunneled chip that dominates end-to-end time. Returns
+    stacked flattened clouds: PointCloud with xyz (T, R*A, 3), mask
+    (T, R*A).
+    """
+    def one(pose, key):
+        xyz, _, hit = scan(
+            world, pose, n_rings=n_rings, n_azimuth=n_azimuth,
+            max_range=max_range, sensor_height=sensor_height,
+            noise=noise, key=key,
+        )
+        return xyz.reshape(-1, 3), hit.reshape(-1)
+
+    xyz, hit = jax.vmap(one)(poses, keys)
+    return jax.vmap(lambda x, h: park(PointCloud(x, h)))(xyz, hit)

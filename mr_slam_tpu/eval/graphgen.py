@@ -34,6 +34,7 @@ def multi_robot_graph(
     loop_stride: int = 25,
     loop_radius: float = 8.0,
     min_separation: int = 40,
+    outlier_frac: float = 0.0,
     seed: int = 0,
     node_capacity: int | None = None,
     edge_capacity: int | None = None,
@@ -84,22 +85,13 @@ def multi_robot_graph(
         )
 
     # ---- loop closures from TRUE geometry + bounded noise ----------------
+    # Candidate selection in numpy; ALL loop measurements computed in
+    # one batched op (per-loop jnp dispatches measured ~300 s for a
+    # 510-node graph on a 2-core host — this is host-side test-fixture
+    # code, but the bench grid builds 9 such graphs).
     rng = np.random.default_rng(seed + 1)
     true_t = np.stack([np.asarray(t.t) for t in true_list])  # (R, K, 3)
-    li, lj, lmeas, lkind = [], [], [], []
-
-    def add_loop(ra, ia, rb, ib, kind):
-        ta = se3.index(true_list[ra], ia)
-        tb = se3.index(true_list[rb], ib)
-        meas = se3.between(ta, tb)
-        dw = so3.exp(jnp.asarray(loop_noise_r * rng.standard_normal(3),
-                                 jnp.float32))
-        dt = jnp.asarray(loop_noise_t * rng.standard_normal(3), jnp.float32)
-        meas = Pose(dw @ meas.R, meas.t + dt)
-        li.append(int(node_of[ra, ia]))
-        lj.append(int(node_of[rb, ib]))
-        lmeas.append(meas)
-        lkind.append(kind)
+    sel = []  # (ra, ia, rb, ib, kind)
 
     for ra in range(R):
         for ia in range(loop_stride, K, loop_stride):
@@ -108,21 +100,58 @@ def multi_robot_graph(
             d[max(0, ia - min_separation):] = np.inf
             ib = int(np.argmin(d))
             if np.isfinite(d[ib]) and d[ib] < loop_radius:
-                add_loop(ra, ia, ra, ib, fg.INTRA_LOOP)
+                sel.append((ra, ia, ra, ib, fg.INTRA_LOOP))
             # inter: nearest node of each other robot
             for rb in range(ra):
                 d = np.linalg.norm(true_t[rb] - true_t[ra, ia], axis=-1)
                 ib = int(np.argmin(d))
                 if d[ib] < loop_radius:
-                    add_loop(ra, ia, rb, ib, fg.INTER_LOOP)
+                    sel.append((ra, ia, rb, ib, fg.INTER_LOOP))
 
-    if li:
+    li = [int(node_of[ra, ia]) for ra, ia, _, _, _ in sel]
+    lj = [int(node_of[rb, ib]) for _, _, rb, ib, _ in sel]
+    lkind = [k for *_, k in sel]
+    lmeas = []
+    if sel:
+        true_R_all = jnp.concatenate([t.R for t in true_list])  # (N, 3, 3)
+        true_t_all = jnp.concatenate([t.t for t in true_list])
+        ja = jnp.asarray([node_of[ra, ia] for ra, ia, _, _, _ in sel])
+        jb = jnp.asarray([node_of[rb, ib] for _, _, rb, ib, _ in sel])
+        ta = Pose(true_R_all[ja], true_t_all[ja])
+        tb = Pose(true_R_all[jb], true_t_all[jb])
+        meas = se3.between(ta, tb)
+        L = len(sel)
+        dw = so3.exp(jnp.asarray(
+            loop_noise_r * rng.standard_normal((L, 3)), jnp.float32))
+        dt = jnp.asarray(
+            loop_noise_t * rng.standard_normal((L, 3)), jnp.float32)
+        noisy = Pose(dw @ meas.R, meas.t + dt)
+
+        # ---- outlier injection: replace a fraction of loops with wrong
+        # measurements (random association — the failure PCM + robust
+        # loss must absorb; `distributed_pcm.cpp` exists for these)
+        if outlier_frac > 0.0:
+            n_out = int(round(outlier_frac * L))
+            if n_out:
+                out_idx = jnp.asarray(
+                    rng.choice(L, size=n_out, replace=False)
+                )
+                bad_R = so3.exp(jnp.asarray(
+                    rng.uniform(-np.pi, np.pi, (n_out, 3)) * 0.5,
+                    jnp.float32))
+                bad_t = jnp.asarray(
+                    rng.uniform(-20.0, 20.0, (n_out, 3)), jnp.float32)
+                noisy = Pose(
+                    noisy.R.at[out_idx].set(bad_R),
+                    noisy.t.at[out_idx].set(bad_t),
+                )
+
         graph, _ = fg.add_edges_batch(
             graph,
             jnp.asarray(li, jnp.int32), jnp.asarray(lj, jnp.int32),
-            se3.stack(lmeas), jnp.asarray(lkind, jnp.int32),
-            jnp.full((len(li),), 10.0, jnp.float32),
-            jnp.full((len(li),), 10.0, jnp.float32),
+            noisy, jnp.asarray(lkind, jnp.int32),
+            jnp.full((L,), 10.0, jnp.float32),
+            jnp.full((L,), 10.0, jnp.float32),
         )
 
     anchors = np.zeros(node_capacity, bool)

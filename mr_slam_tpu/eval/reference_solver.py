@@ -47,6 +47,7 @@ def solve(
     anchor_weight: float = 1e3,
     max_nfev: int | None = None,
     verbose: int = 0,
+    loss: str = "linear",
 ) -> Pose:
     """Full nonlinear SE(3) PGO via scipy TRF least squares.
 
@@ -112,7 +113,7 @@ def solve(
     ).ravel()
     res = least_squares(
         residuals, x0, jac_sparsity=S, method="trf",
-        x_scale="jac", max_nfev=max_nfev, verbose=verbose,
+        x_scale="jac", max_nfev=max_nfev, verbose=verbose, loss=loss,
     )
     t, rot = unpack(res.x)
 
