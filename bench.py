@@ -34,7 +34,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 32
+BATCH = 64  # sweep peak is 64-128 on v5e
 POINTS = 4096
 ITERS = 50
 BASELINE_REG_PER_S = 100.0
@@ -453,10 +453,21 @@ def main() -> None:
         xyz = jnp.concatenate([ground, wall1, wall2], axis=0)
         return xyz + 0.01 * jax.random.normal(k1, xyz.shape)
 
-    targets_xyz = jax.vmap(make_cloud)(ks[:BATCH])
-    targets = pcl.PointCloud(targets_xyz, jnp.ones((BATCH, POINTS), bool))
-    # perturbed sources
-    xi = 0.1 * jax.random.normal(ks[BATCH], (BATCH, 6))
+    MAXB = max(BATCH, 128)
+    ks = jax.random.split(key, MAXB + 2)
+    targets_xyz = jax.vmap(make_cloud)(ks[:MAXB])
+    targets = pcl.PointCloud(targets_xyz, jnp.ones((MAXB, POINTS), bool))
+    # perturbed sources at SEED-REALISTIC initial errors: loop
+    # verification starts from RING/SC SE(2) seeds good to ~0.3 m /
+    # ~2-3 deg (`runtime/loopstage.py` dual-yaw seeding); the r3 bench
+    # drew 6-dof 0.1*normal (up to ~15 deg) — outside the direct1
+    # convergence basin, so half the batch silently diverged while only
+    # throughput was reported. Now the workload matches production and
+    # convergence is REPORTED.
+    xi = jnp.concatenate(
+        [0.15 * jax.random.normal(ks[MAXB], (MAXB, 3)),
+         0.03 * jax.random.normal(ks[MAXB + 1], (MAXB, 3))], axis=-1
+    )
     true = se3.exp(xi)
     sources = jax.vmap(lambda c, p: pcl.transform(c, se3.inverse(p)))(targets, true)
 
@@ -467,7 +478,13 @@ def main() -> None:
             )
         )
     )
-    grids = build(targets)
+    # chunked builds: the (B, H, 3, 3) regularization intermediates at
+    # B=256 hit an XLA tiling-padding pathology (56x padding -> OOM)
+    grids = jax.tree.map(
+        lambda *x: jnp.concatenate(x),
+        *[build(jax.tree.map(lambda a: a[i:i + 32], targets))
+          for i in range(0, MAXB, 32)],
+    )
     grids.mean.block_until_ready()
 
     run = jax.jit(
@@ -477,51 +494,58 @@ def main() -> None:
             ).pose.t
         )
     )
-    init = se3.identity((BATCH,))
 
-    # warmup/compile
-    run(sources, grids, init).block_until_ready()
+    def measure(b, reps=5):
+        sub = jax.tree.map(lambda a: a[:b], sources)
+        subg = jax.tree.map(lambda a: a[:b], grids)
+        subi = se3.identity((b,))
+        out = run(sub, subg, subi)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(sub, subg, subi)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        err = jnp.linalg.norm(out - true.t[:b], axis=-1)
+        return b / dt, err
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run(sources, grids, init)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    reg_per_s = BATCH / dt
+    reg_per_s, err = measure(BATCH)
+    import numpy as np
+
+    e = np.asarray(err)
 
     extra = {}
-    # ---- roofline: achieved HBM traffic vs chip peak --------------------
-    # _vgicp_direct1 runs ceil(ITERS/inner)=10 outer re-association
-    # rounds; each gathers one 16-float voxel row (64 B) + reads the
-    # 12 B point per source point (the random-access traffic that bounds
-    # this gather-bound kernel — the inner GN steps rehash cached rows).
-    # Fractions are against the v5e HBM peak (819 GB/s); a low number
-    # here means the kernel is latency- (not bandwidth-) bound random
-    # gather, which is the expected regime for voxel lookups.
-    outer_rounds = -(-ITERS // 5)
+    extra["convergence"] = {
+        "median_err_m": round(float(np.median(e)), 4),
+        "p90_err_m": round(float(np.percentile(e, 90)), 4),
+        "frac_within_10cm": round(float((e < 0.1).mean()), 3),
+    }
+    # ---- binding resource (measured, v5e) -------------------------------
+    # Decomposition at B=128 x 4096 pts x 50 iters (5 outer rounds at
+    # the production inner=10): outer re-association row gathers 55 ms,
+    # 50 fused GN steps 41 ms, dispatch floor 1.4 ms/call. The gather
+    # runs at ~20 ns/row = ~3 GB/s effective random-row bandwidth — the
+    # hardware regime for 64 B scattered reads; alternatives measured
+    # slower (one-hot f32 MXU contraction 2.1x, Pallas table-resident
+    # kernel 50x). The kernel is gather-latency-bound, not
+    # bandwidth/FLOP-bound; fractions vs the 819 GB/s HBM peak stated
+    # for scale.
+    outer_rounds = -(-ITERS // 10)
     bytes_per_reg = outer_rounds * POINTS * (64 + 12)
     extra["roofline_vgicp"] = {
         "model": "outer_rounds*N*(64B row + 12B point)",
+        "binding_resource": "random row gather ~20ns/row + 1.4ms dispatch",
         "bytes_per_reg": bytes_per_reg,
         "achieved_gbps": round(bytes_per_reg * reg_per_s / 1e9, 2),
         "hbm_util_vs_819gbps": round(
             bytes_per_reg * reg_per_s / 819e9, 4
         ),
     }
-    # batch sweep: registrations/s vs batch size (saturation justifies
-    # the production batch of 32)
+    # batch sweep: registrations/s vs batch size
     sweep = {}
-    for b in (1, 4, 8, 16, 32):
-        sub = jax.tree.map(lambda a: a[:b], sources)
-        subg = jax.tree.map(lambda a: a[:b], grids)
-        subi = se3.identity((b,))
-        run(sub, subg, subi).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(3):
-            o = run(sub, subg, subi)
-        o.block_until_ready()
-        sweep[str(b)] = round(3 * b / (time.perf_counter() - t0), 1)
+    for b in (1, 8, 16, 32, 64, 128):
+        rps, _ = measure(b, reps=3)
+        sweep[str(b)] = round(rps, 1)
     extra["batch_sweep_reg_per_s"] = sweep
     try:
         extra.update(bench_frontend_and_ate())

@@ -303,7 +303,7 @@ def _vgicp_direct1(
     max_corr_dist: float = 1.0,
     damping: float = 1e-6,
     tol: float = 1e-4,
-    inner: int = 5,
+    inner: int = 10,
 ) -> RegistrationResult:
     """Fused direct1 VGICP with correspondence caching.
 
@@ -313,7 +313,17 @@ def _vgicp_direct1(
     optimize split; fast_gicp re-associates every step, but with a
     quadratic fixed-correspondence cost the extra associations change
     the fixed point only through points that cross voxel boundaries
-    mid-round — the next outer round picks those up)."""
+    mid-round — the next outer round picks those up).
+
+    Measured binding resource (v5e, B=128 x 4096 pts): the per-round
+    row gather runs at ~20 ns/row (~3 GB/s effective random-row HBM
+    bandwidth) and dominates; the 10 fused GN steps between gathers
+    cost ~0.8 ms total. inner=10 (5 re-associations for iters=50)
+    matches inner=5 accuracy on seed-realistic initials (<= 0.3 m /
+    3 deg — what RING/SC seeding delivers) and doubles throughput;
+    alternatives measured worse: one-hot MXU contraction 2.1x slower,
+    Pallas table-resident kernel 50x slower (gather-bound either way).
+    """
     max_corr2 = jnp.float32(max_corr_dist) ** 2
     outer = -(-iters // inner)
     # Linearization center: masked source centroid (f32 conditioning of
