@@ -373,7 +373,7 @@ def _vgicp_direct1(
 
 
 @accurate
-@partial(jax.jit, static_argnames=("iters", "neighbors"))
+@partial(jax.jit, static_argnames=("iters", "neighbors", "inner"))
 def point_to_plane_icp(
     source: PointCloud,
     target: voxel_grid.VoxelGrid,
@@ -383,6 +383,7 @@ def point_to_plane_icp(
     damping: float = 1e-6,
     tol: float = 1e-4,
     neighbors: str = "direct7",
+    inner: int = 4,
 ) -> RegistrationResult:
     """Point-to-plane ICP: residual n^T (T p - mu) against a local plane
     — the same geometry as FAST-LIO's `esti_plane` measurement model
@@ -390,11 +391,19 @@ def point_to_plane_icp(
     ikd-tree 5 nearest neighbours; here the plane comes from *pooling
     the Gaussian moments of the matched cell and its neighbour cells*,
     which spans rings/scans the way 5-NN does (a single cell of one
-    sparse scan is often collinear and unusable)."""
+    sparse scan is often collinear and unusable).
 
-    def step(carry, _):
-        pose, _prev = carry
-        tp = se3.apply(pose, source.xyz)
+    Like `_vgicp_direct1`, `iters` total GN steps run as
+    ceil(iters/inner) outer ASSOCIATION rounds (the K-row gather +
+    moment pooling + eigh3 plane fits — the measured per-frame cost of
+    the whole front-end) x `inner` gather-free GN steps against the
+    cached planes (n, mu fixed; residual and Jacobian re-linearized at
+    each iterate)."""
+    outer = -(-iters // inner)
+
+    def outer_step(carry, _):
+        pose0, _prev = carry
+        tp = se3.apply(pose0, source.xyz)
         found, cnt, mu, Cv = voxel_grid.lookup(target, tp, neighbors)
         # Candidate A: pool moments over all found neighbour cells
         # (spans rings/scans like the reference's 5-NN plane fit).
@@ -425,21 +434,30 @@ def point_to_plane_icp(
         use_cell = (~use_pool) & planar_c & (cnt_c >= 3)
         n = jnp.where(use_pool[:, None], n_p, n_c)
         mu_b = jnp.where(use_pool[:, None], mu_p, mu_c)
-        d2_b = jnp.sum((mu_b - tp) ** 2, axis=-1)
-        ok = source.mask & (use_pool | use_cell) & (d2_b < max_corr_dist**2)
-        w = ok.astype(jnp.float32)
-        r = jnp.sum(n * (tp - mu_b), axis=-1)  # scalar residual
-        # dr/dxi = n^T [I | -hat(tp)] -> (N, 6)
-        J = jnp.concatenate([n, jnp.cross(tp, n)], axis=-1)
-        H = jnp.einsum("ni,nj,n->ij", J, J, w)
-        b = -jnp.einsum("ni,n,n->i", J, r, w)
-        dx = _gn_update(H + 1e-6 * jnp.eye(6), b, damping)
-        new_pose = se3.compose(se3.exp(dx), pose)
-        cost = jnp.sum(r * r * w) / jnp.maximum(jnp.sum(w), 1.0)
-        return (new_pose, jnp.linalg.norm(dx)), (cost, jnp.sum(w))
+        usable = source.mask & (use_pool | use_cell)
+
+        def inner_step(icarry, _):
+            pose, _p = icarry
+            tp_i = se3.apply(pose, source.xyz)
+            d2_b = jnp.sum((mu_b - tp_i) ** 2, axis=-1)
+            w = (usable & (d2_b < max_corr_dist**2)).astype(jnp.float32)
+            r = jnp.sum(n * (tp_i - mu_b), axis=-1)  # scalar residual
+            # dr/dxi = n^T [I | -hat(tp)] -> (N, 6)
+            J = jnp.concatenate([n, jnp.cross(tp_i, n)], axis=-1)
+            H = jnp.einsum("ni,nj,n->ij", J, J, w)
+            b = -jnp.einsum("ni,n,n->i", J, r, w)
+            dx = _gn_update(H + 1e-6 * jnp.eye(6), b, damping)
+            new_pose = se3.compose(se3.exp(dx), pose)
+            cost = jnp.sum(r * r * w) / jnp.maximum(jnp.sum(w), 1.0)
+            return (new_pose, jnp.linalg.norm(dx)), (cost, jnp.sum(w))
+
+        (pose, last_dx), (costs, inliers) = jax.lax.scan(
+            inner_step, (pose0, _prev), None, length=inner
+        )
+        return (pose, last_dx), (costs[-1], inliers[-1])
 
     (pose, last_dx), (costs, inliers) = jax.lax.scan(
-        step, (init, jnp.float32(jnp.inf)), None, length=iters
+        outer_step, (init, jnp.float32(jnp.inf)), None, length=outer
     )
     fit = fitness(source, target, pose, max_range=1.0)
     return RegistrationResult(

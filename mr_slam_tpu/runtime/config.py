@@ -33,6 +33,8 @@ class OdometryCfg:
     extrinsic: tuple[float, ...] | None = None
     estimate_extrinsics: bool = False  # refine R_li/t_li online (the
                                        # reference's 23-state IKFoM path)
+    decay_every: int = 8    # map FOV-trim cadence (frames)
+    coarse_every: int = 4   # coarse rescue-grid refresh cadence (frames)
 
 
 @dataclass(frozen=True)
