@@ -387,6 +387,113 @@ def bench_ate_vs_reference() -> dict:
     return out
 
 
+def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4) -> dict:
+    """evaluate.py-protocol place-recognition table: 3 runs x
+    `n_per_run` keyframes (>= 500 total) through the shared courtyard;
+    runs 0+1 are the DATABASE, run 2 the QUERY set (cross-run retrieval
+    with pose-distance ground truth — `generating_queries/*.py` +
+    `evaluate.py:59-198`). recall@{1,5,25} + top-1% for all six
+    descriptor families plus the quadruplet-TRAINED DiSCO (trained on
+    database keyframes only)."""
+    import numpy as np
+
+    from mr_slam_tpu.datasets import synthetic
+    from mr_slam_tpu.eval import metrics, recall_harness
+    from mr_slam_tpu.geometry import se3
+    from mr_slam_tpu.loop import bev as bev_mod, disco_net
+    from mr_slam_tpu.ops import pointcloud as pcl
+
+    world = synthetic.default_world(7, extent=60.0, n_boxes=36)
+    runs = []
+    for r in range(3):
+        traj = synthetic.circle_trajectory(
+            n_per_run, radius=22.0 + 2.0 * r, laps=1.9,
+            phase=2.1 * r, ccw=(r % 2 == 0),
+        )
+        keys = jax.random.split(jax.random.PRNGKey(100 + r), n_per_run)
+        clouds = synthetic.scan_batch(
+            world, traj, keys, n_rings=16, n_azimuth=512, noise=0.02
+        )
+        runs.append((clouds, traj.t))
+    db_clouds = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b]), runs[0][0], runs[1][0]
+    )
+    db_pos = jnp.concatenate([runs[0][1], runs[1][1]])
+    q_clouds, q_pos = runs[2]
+
+    table = {}
+    for m in recall_harness.METHODS:
+        try:
+            res = recall_harness.evaluate_cross(
+                m, q_clouds, q_pos, db_clouds, db_pos, radius=5.0, max_n=25
+            )
+            r = np.asarray(res.recall_at_n)
+            table[m] = {
+                "r@1": round(float(r[0]), 3),
+                "r@5": round(float(r[4]), 3),
+                "r@25": round(float(r[24]), 3),
+                "top1pct": round(float(res.top1_percent), 3),
+            }
+        except Exception as e:
+            table[m] = {"error": repr(e)[:120]}
+
+    # trained DiSCO: quadruplet training on DATABASE keyframes only
+    try:
+        bevs_db = jax.lax.map(
+            lambda c: bev_mod.polar_occupancy(c, 40, 120, z_bins=8), db_clouds
+        )
+        bevs_q = jax.lax.map(
+            lambda c: bev_mod.polar_occupancy(c, 40, 120, z_bins=8), q_clouds
+        )
+        D = db_pos.shape[0]
+        d_xy = np.linalg.norm(
+            np.asarray(db_pos)[:, None, :2] - np.asarray(db_pos)[None, :, :2],
+            axis=-1,
+        )
+        pos_mask = d_xy < 5.0
+        np.fill_diagonal(pos_mask, False)
+        far_mask = d_xy > 15.0
+        model = disco_net.DiscoNet(base=4)
+        state, tx = disco_net.create_train_state(
+            jax.random.PRNGKey(1), model, bevs_db[0], lr=3e-4
+        )
+        rng = np.random.default_rng(0)
+        anchors = [i for i in range(D)
+                   if pos_mask[i].any() and far_mask[i].any()]
+        for _ in range(train_epochs):
+            for a in rng.permutation(anchors)[:128]:
+                p = int(rng.choice(np.flatnonzero(pos_mask[a])))
+                negs = rng.choice(
+                    np.flatnonzero(far_mask[a]), size=4, replace=False
+                )
+                on_pool = np.flatnonzero(far_mask[a] & ~pos_mask[a])
+                on = int(rng.choice(on_pool))
+                state, _ = disco_net.train_step(
+                    state, model, tx, bevs_db[a], bevs_db[p],
+                    bevs_db[jnp.asarray(negs)], bevs_db[on],
+                )
+        sig_db = jax.lax.map(lambda b: model.apply(state.params, b), bevs_db)
+        sig_q = jax.lax.map(lambda b: model.apply(state.params, b), bevs_q)
+        dists = jnp.linalg.norm(sig_q[:, None] - sig_db[None], axis=-1)
+        pos = metrics.make_positives(q_pos, db_pos, radius=5.0)
+        res = metrics.recall_at_n(dists, pos, pos.any(1), max_n=25)
+        r = np.asarray(res.recall_at_n)
+        table["disco_trained"] = {
+            "r@1": round(float(r[0]), 3),
+            "r@5": round(float(r[4]), 3),
+            "r@25": round(float(r[24]), 3),
+            "top1pct": round(float(res.top1_percent), 3),
+        }
+    except Exception as e:
+        table["disco_trained"] = {"error": repr(e)[:120]}
+    table["_protocol"] = {
+        "database_kf": int(db_pos.shape[0]),
+        "query_kf": int(q_pos.shape[0]),
+        "radius_m": 5.0,
+    }
+    return table
+
+
 def bench_scaling() -> dict | None:
     """Run examples/bench_scaling.py in a CPU subprocess with 8 virtual
     devices; returns its JSON or None on failure."""
@@ -563,6 +670,10 @@ def main() -> None:
         extra["loop_batching"] = bench_loop_batching()
     except Exception as e:
         extra["loop_batching_error"] = repr(e)[:200]
+    try:
+        extra["pr_recall"] = bench_pr_recall()
+    except Exception as e:
+        extra["pr_recall_error"] = repr(e)[:200]
     # ---- long-horizon production-scale run (the north-star numbers:
     # BASELINE.md measurement points / README Quick Demo scale). Heavy:
     # ~10 min on the chip; LONGRUN_FRAMES=0 skips, default 500 on an

@@ -69,7 +69,9 @@ def run_config(n_procs: int, frames: int) -> float:
                 )
             for line in text.splitlines():
                 if line.startswith("{") and "bench_fps" in line:
-                    fps = json.loads(line)["bench_fps"]
+                    rec = json.loads(line)
+                    fps = rec["bench_fps"]
+                    run_config.last_split = rec.get("split_ms")
     finally:
         # a timeout/crash must not leak sibling workers
         for p in procs:
@@ -133,9 +135,10 @@ def run_concurrent_independent(n_procs: int, frames: int) -> float:
 
 def main() -> None:
     n = int(os.environ.get("BENCH_PROCESSES", "2"))
-    frames = int(os.environ.get("BENCH_FRAMES", "32"))
+    frames = int(os.environ.get("BENCH_FRAMES", "64"))
     fps_1 = run_config(1, frames)
     fps_n = run_config(n, frames)
+    split_n = getattr(run_config, "last_split", None)
     fps_roof = run_concurrent_independent(n, frames)
     out = {
         "fps_1proc": round(fps_1, 2),
@@ -149,6 +152,7 @@ def main() -> None:
         # same cores — isolates dispatch/collective overhead
         "efficiency_vs_cores_roof": round(fps_n / fps_roof, 3),
         "cpu_cores": os.cpu_count(),
+        "split_ms_nproc": split_n,
     }
     print(json.dumps(out))
 

@@ -53,7 +53,11 @@ def main():
     # every process derives the SAME ground truth deterministically but
     # only feeds its local robots
     trajs = [
-        synthetic.circle_trajectory(n_frames, radius=22.0, laps=0.3,
+        # ~2.6 m inter-frame motion regardless of n_frames (and
+        # IDENTICAL inputs to tests/test_multihost.py build_inputs at
+        # n_frames=8)
+        synthetic.circle_trajectory(n_frames, radius=22.0,
+                                    laps=0.15 * n_frames / 8.0,
                                     phase=2 * np.pi * r / n_robots)
         for r in range(n_robots)
     ]
@@ -85,11 +89,26 @@ def main():
             out = mh.frontend_spmd(scans, cfg, origins, mesh)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
+        # ---- time split: host feed / device compute / collective ----
+        # (the VERDICT-r3 #6 evidence: what share of the wall is
+        # host-bound vs our dispatch/collective overhead)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            scans2 = mh.feed_global(local_scans, mesh)
+        jax.block_until_ready(scans2)
+        feed_s = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            rep = mh._replicate_to_hosts(out)
+        gather_s = (time.perf_counter() - t0) / reps
         if jax.process_index() == 0:
             print(json.dumps(
                 {"bench_fps": round(n_robots * n_frames / dt, 3),
                  "robots": n_robots, "frames": n_frames,
-                 "processes": jax.process_count()}
+                 "processes": jax.process_count(),
+                 "split_ms": {"frontend": round(dt * 1e3, 1),
+                              "feed": round(feed_s * 1e3, 1),
+                              "replicate": round(gather_s * 1e3, 1)}}
             ), flush=True)
         return
 

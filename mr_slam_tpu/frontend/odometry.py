@@ -116,11 +116,15 @@ def step(
     def register(_):
         # Coarse stage: 4x-leaf grid with direct27 probes gives a wide
         # convergence basin (several metres) — rescues bootstrap frames
-        # and fast motion where the prediction is poor. A 4x point
-        # subsample suffices (4 m cells need no density) and cuts the
-        # direct27 gather volume, the measured front-end bottleneck.
-        # Fine stage refines against the full-resolution map.
-        ds_coarse = pcl.PointCloud(ds.xyz[::4], ds.mask[::4])
+        # and fast motion where the prediction is poor. A 4x-coarser
+        # downsample suffices (4 m cells need no density) and cuts the
+        # direct27 gather volume, the measured front-end bottleneck;
+        # voxel semantics keep the selection content-deterministic
+        # (positional slicing of scatter output is hash-layout-dependent
+        # and diverges chaotically across jit/shard_map lowerings).
+        ds_coarse = pcl.voxel_downsample(
+            ds, 2.0 * config.scan_leaf, max(config.scan_capacity // 4, 256),
+        )
         coarse = registration.point_to_plane_icp(
             ds_coarse,
             state.coarse_grid,
@@ -128,6 +132,9 @@ def step(
             iters=4,
             max_corr_dist=8.0 * config.map_leaf,
             neighbors="direct27",
+            inner=1,  # re-associate every step: the wide-basin stage
+                      # must walk its correspondences in; with the 4x
+                      # subsample the gather volume stays small
         )
         res = registration.point_to_plane_icp(
             ds,
@@ -136,6 +143,7 @@ def step(
             iters=config.iters,
             max_corr_dist=config.max_corr_dist,
             neighbors="direct7",
+            inner=2,
         )
         return res.pose, res.error, res.num_inliers
 

@@ -588,6 +588,41 @@ def build_graph(robots: list[RobotResult], cfg: SlamConfig):
     return graph, node_of
 
 
+def _allgather_loops(
+    my_loops: list[tuple[int, dict]], max_loops: int
+) -> list[tuple[int, dict]]:
+    """Exchange per-process accepted-loop records: each process packs
+    its loops into a fixed (max_loops, 19) float32 record block
+    [pair_idx, ra, kf_a, rb, kf_b, fitness, desc_dist, R(9), t(3)] +
+    count, all-gathers, and unpacks the union (the cross-host `Loops`
+    message exchange, array-native)."""
+    from jax.experimental import multihost_utils
+
+    block = np.zeros((max_loops, 19), np.float32)
+    for i, (pi, l) in enumerate(my_loops[:max_loops]):
+        block[i, 0:7] = [
+            pi, l["robot_a"], l["kf_a"], l["robot_b"], l["kf_b"],
+            float(l["fitness"]), float(l["desc_dist"]),
+        ]
+        block[i, 7:16] = np.asarray(l["rel"].R).reshape(-1)
+        block[i, 16:19] = np.asarray(l["rel"].t)
+    count = np.array([len(my_loops)], np.int32)
+    blocks = multihost_utils.process_allgather(block)          # (P, L, 19)
+    counts = multihost_utils.process_allgather(count).reshape(-1)
+    merged: list[tuple[int, dict]] = []
+    for p in range(blocks.shape[0]):
+        for i in range(int(counts[p])):
+            row = blocks[p, i]
+            merged.append((int(row[0]), dict(
+                robot_a=int(row[1]), kf_a=int(row[2]),
+                robot_b=int(row[3]), kf_b=int(row[4]),
+                rel=Pose(jnp.asarray(row[7:16].reshape(3, 3)),
+                         jnp.asarray(row[16:19])),
+                fitness=float(row[5]), desc_dist=float(row[6]),
+            )))
+    return merged
+
+
 def run_backend(
     robots: list[RobotResult],
     cfg: SlamConfig,
@@ -626,22 +661,32 @@ def run_backend(
         ((ra, rb) for ra in range(R) for rb in range(ra + 1)),
         key=lambda p: p[0] == p[1],
     )
+    # Multi-process: robot pairs are SHARDED round-robin across
+    # processes (each verifies only its pairs — the expensive chunked
+    # VGICP stage parallelizes across hosts) and the accepted-loop
+    # records are all-gathered; ordering by pair index keeps every
+    # process's merged list identical (deterministic replicated
+    # control downstream).
+    n_proc = jax.process_count()
+    pid = jax.process_index()
     with obs.tracer.span("backend.associate"):
-        for ra, rb in pairs:
-            if len(loops) >= cfg.loops.max_loops:
-                break
+        my_loops: list[tuple[int, dict]] = []
+        for pi, (ra, rb) in enumerate(pairs):
+            if n_proc > 1 and pi % n_proc != pid:
+                continue
             found = loopstage.search_pair_loops(
                 robots[ra].store, descs[ra], robots[rb].store, descs[rb],
                 cfg, same_robot=(ra == rb),
             )
             for l in found:
-                loops.append(
-                    dict(
-                        robot_a=ra, kf_a=l["kf_a"], robot_b=rb,
-                        kf_b=l["kf_b"], rel=l["rel"],
-                        fitness=l["fitness"], desc_dist=l["desc_dist"],
-                    )
-                )
+                my_loops.append((pi, dict(
+                    robot_a=ra, kf_a=l["kf_a"], robot_b=rb,
+                    kf_b=l["kf_b"], rel=l["rel"],
+                    fitness=l["fitness"], desc_dist=l["desc_dist"],
+                )))
+        if n_proc > 1:
+            my_loops = _allgather_loops(my_loops, cfg.loops.max_loops)
+        loops = [l for _, l in sorted(my_loops, key=lambda x: x[0])]
     loops = loops[: cfg.loops.max_loops]
     obs.metrics.inc("backend.loops_found", len(loops))
 
