@@ -144,9 +144,11 @@ def _accum_kernel(scalars_ref, pts_ref, mask_ref, table_ref, out_ref):
     a12 = cxy * cxz - cxx * cyz
     a22 = cxx * cyy - cxy * cxy
     det = cxx * a00 + cxy * a01 + cxz * a02
-    # relative PSD det floor (see registration._gn_terms_from_rows)
-    det_floor = 1e-5 * cxx * cyy * czz
-    inv_det = jnp.where(det > det_floor, w / jnp.maximum(det, 1e-30), 0.0)
+    # relative PSD floor + absolute weight cap
+    # (see registration._gn_terms_from_rows)
+    det_floor = jnp.maximum(1e-5 * cxx * cyy * czz, 1e-12)
+    w = w * (det > det_floor)  # dropped cells are not inliers
+    inv_det = w / jnp.maximum(det, 1e-30)
     w00 = a00 * inv_det
     w01 = a01 * inv_det
     w02 = a02 * inv_det

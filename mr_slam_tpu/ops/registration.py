@@ -153,8 +153,13 @@ def _gn_terms_from_rows(
     # cells; inverting through it injects +-1e10 negative-definite junk
     # into H. The floor is relative (Hadamard bound scale); cells whose
     # det falls under it are degenerate (thin/few-point) — drop them.
-    det_floor = 1e-5 * cxx * cyy * czz
-    inv_det = jnp.where(det > det_floor, w / jnp.maximum(det, 1e-30), 0.0)
+    # ... AND an absolute floor: near-coincident-point cells have
+    # proportionate (relative-floor-passing) but TINY dets whose
+    # inverses are 1e13-scale weights that swamp the f32 accumulation —
+    # cap by dropping them (the old |det| guard's behavior).
+    det_floor = jnp.maximum(1e-5 * cxx * cyy * czz, 1e-12)
+    w = w * (det > det_floor)  # dropped cells are not inliers
+    inv_det = w / jnp.maximum(det, 1e-30)
     w00, w01, w02 = a00 * inv_det, a01 * inv_det, a02 * inv_det
     w11, w12, w22 = a11 * inv_det, a12 * inv_det, a22 * inv_det
 

@@ -16,7 +16,14 @@ def xla_reference(tp, mask, grid, eps=1e-6, max_corr=1.0):
     r = mu - tp
     d2 = jnp.sum(r * r, axis=-1)
     w = (found & mask & (d2 < max_corr**2)).astype(jnp.float32)
-    W = linalg3.inv3(Cv + eps * jnp.eye(3)) * w[:, None, None]
+    # same relative PSD det floor as the production accumulators
+    # (registration._gn_terms_from_rows / the pallas kernel): degenerate
+    # cells are dropped, not inverted
+    C = Cv + eps * jnp.eye(3)
+    det = linalg3.det3(C)
+    floor = jnp.maximum(1e-5 * C[:, 0, 0] * C[:, 1, 1] * C[:, 2, 2], 1e-12)
+    w = w * (det > floor).astype(jnp.float32)
+    W = linalg3.inv3(C) * w[:, None, None]
     hat = jnp.stack(
         [
             jnp.stack([jnp.zeros_like(tp[:, 0]), -tp[:, 2], tp[:, 1]], -1),
