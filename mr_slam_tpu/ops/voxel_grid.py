@@ -186,7 +186,23 @@ def build(
         evals, V = linalg3.eigh3(cov + 1e-9 * jnp.eye(3))
         scale = jnp.maximum(evals[..., 2:3], 1e-6)
         clamped = jnp.maximum(evals / scale, 1e-3) * scale
-        cov = jnp.einsum("hik,hk,hjk->hij", V, clamped, V)
+        # component-form reconstruction C = V diag(clamped) V^T: the
+        # einsum "hik,hk,hjk->hij" dot_general materializes (H, 3, 3)
+        # temporaries whose TPU tiling pads 3 -> 128 (measured 57x
+        # memory expansion — OOM at 256-way vmapped builds); elementwise
+        # sums over the 3 eigenvectors fuse with no (H, 3, 3) tensors
+        cov_comp = []
+        for i, j in ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)):
+            cov_comp.append(sum(
+                clamped[..., k] * V[..., i, k] * V[..., j, k]
+                for k in range(3)
+            ))
+        cxx, cyy, czz, cxy, cxz, cyz = cov_comp
+        cov = jnp.stack([
+            jnp.stack([cxx, cxy, cxz], axis=-1),
+            jnp.stack([cxy, cyy, cyz], axis=-1),
+            jnp.stack([cxz, cyz, czz], axis=-1),
+        ], axis=-2)
     coords_i = jnp.where(have_owner[:, None], cell_coord, _UNCLAIMED)
     return VoxelGrid(packed=_pack(coords_i, count, mean, cov, valid), leaf=leaf)
 

@@ -1,3 +1,4 @@
+import pytest
 import os
 
 import jax
@@ -163,6 +164,7 @@ class TestOfflineG2ORunner:
         add(5, 13, fg.INTER_LOOP)
         return g
 
+    @pytest.mark.slow
     def test_runner_reduces_chi2(self, tmp_path):
         import json
         import subprocess

@@ -143,6 +143,7 @@ class TestConfigOverlays:
 
 
 class TestOnlineLio:
+    @pytest.mark.slow
     def test_streaming_lio_session(self):
         """The online scheduler runs the FAST-LIO front-end per robot
         when cfg selects it (the reference's pluggable per-robot node),

@@ -2,6 +2,7 @@
 serialize a live OnlineSlam mid-run, restore into a FRESH session from
 the manifest alone, continue the stream, and match the uninterrupted
 run exactly."""
+import pytest
 import os
 
 import jax
@@ -45,6 +46,7 @@ def _feed(sess, frames):
 
 
 class TestSessionResume:
+    @pytest.mark.slow
     def test_resume_matches_uninterrupted(self, tmp_path):
         traj, frames = _frames(16)
         cut = 9

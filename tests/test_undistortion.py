@@ -2,6 +2,7 @@
 are instantaneous, so a sheared-scan simulator (`synthetic.shear_scan`)
 provides the spinning-lidar distortion that real data carries
 (`IMU_Processing.hpp:65`, `laserOdometry.cpp:112-123`)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -166,6 +167,7 @@ class TestLioTimesPlumbing:
         )
         return float(jnp.linalg.norm(rr.odom_poses.t[n - 1] - traj.t[n - 1]))
 
+    @pytest.mark.slow
     def test_point_times_enable_lio_undistortion(self):
         drift_with = self._run(True)
         drift_without = self._run(False)
