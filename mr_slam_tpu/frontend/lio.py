@@ -257,27 +257,35 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
     est_ext = config.estimate_extrinsics
     M = 12 if est_ext else 6  # measured error-state columns
 
+    # ---- associate ONCE at the IMU-predicted state --------------------
+    # (the K-row gather + moment pooling + eigh3 plane fits are the
+    # measured bulk of the front-end; the IMU prior is cm-accurate so
+    # the correspondence set is stable across the GN iterates — the
+    # same association-caching split as registration.point_to_plane_icp.
+    # The reference re-searches its ikd-tree every IEKF iteration;
+    # with a good prior the fixed-set MAP GN solves the same problem.)
+    s_b0 = jnp.einsum("ab,nb->na", state.R_li, scan_ds.xyz) + state.t_li
+    tp0 = jnp.einsum("ab,nb->na", state.R, s_b0) + state.p
+    found, cnt, mu, Cv = voxel_grid.lookup(state.grid, tp0, "direct7")
+    wk = jnp.where(found, cnt, 0.0)
+    wsum = jnp.sum(wk, axis=-1)
+    mu_p = jnp.einsum("nk,nki->ni", wk, mu) / jnp.maximum(wsum[:, None], 1.0)
+    M2 = Cv + jnp.einsum("nki,nkj->nkij", mu, mu)
+    M2_p = jnp.einsum("nk,nkij->nij", wk, M2) / jnp.maximum(
+        wsum[:, None, None], 1.0
+    )
+    Cp = M2_p - jnp.einsum("ni,nj->nij", mu_p, mu_p)
+    evals, V = linalg3.eigh3(Cp + 1e-9 * jnp.eye(3))
+    n = V[..., :, 0]
+    planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
+    usable = scan_ds.mask & (wsum >= 5) & planar
+
     def body(carry, _):
         R, p, v, bg, ba, R_li, t_li, _H = carry
         s_b = jnp.einsum("ab,nb->na", R_li, scan_ds.xyz) + t_li  # IMU frame
         tp = jnp.einsum("ab,nb->na", R, s_b) + p
-        found, cnt, mu, Cv = voxel_grid.lookup(state.grid, tp, "direct7")
-        wk = jnp.where(found, cnt, 0.0)
-        wsum = jnp.sum(wk, axis=-1)
-        mu_p = jnp.einsum("nk,nki->ni", wk, mu) / jnp.maximum(wsum[:, None], 1.0)
-        M2 = Cv + jnp.einsum("nki,nkj->nkij", mu, mu)
-        M2_p = jnp.einsum("nk,nkij->nij", wk, M2) / jnp.maximum(
-            wsum[:, None, None], 1.0
-        )
-        Cp = M2_p - jnp.einsum("ni,nj->nij", mu_p, mu_p)
-        evals, V = linalg3.eigh3(Cp + 1e-9 * jnp.eye(3))
-        n = V[..., :, 0]
-        planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
         d2 = jnp.sum((mu_p - tp) ** 2, axis=-1)
-        ok = (
-            scan_ds.mask & (wsum >= 5) & planar
-            & (d2 < config.max_corr_dist**2)
-        )
+        ok = usable & (d2 < config.max_corr_dist**2)
         w = ok.astype(jnp.float32) * w_meas
         r = jnp.sum(n * (tp - mu_p), axis=-1)
         # Perturbation R <- exp(dphi) R, p <- p + dp (rotation does NOT
