@@ -414,13 +414,6 @@ def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4) -> dict:
         clouds = synthetic.scan_batch(
             world, traj, keys, n_rings=16, n_azimuth=512, noise=0.02
         )
-        # one shared 2048-pt voxel downsample (the reference nodes also
-        # describe downsampled keyframes, `main_RING.py:251-259` voxel
-        # 0.2); RING++'s per-cloud knn is quadratic in points and
-        # dominated the harness wall time at full resolution
-        clouds = jax.vmap(
-            lambda c: pcl.voxel_downsample(c, 0.3, 2048)
-        )(clouds)
         runs.append((clouds, traj.t))
     db_clouds = jax.tree.map(
         lambda a, b: jnp.concatenate([a, b]), runs[0][0], runs[1][0]

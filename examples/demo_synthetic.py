@@ -41,13 +41,9 @@ def main(out_dir: str = "demo_out") -> None:
     with tracer.span("raycast"):
         for r, t in enumerate(trajs):
             keys = jax.random.split(jax.random.PRNGKey(r), n)
-            frames = []
-            for i in range(n):
-                xyz, _, hit = synthetic.scan(
-                    world, se3.index(t, i), n_rings=16, n_azimuth=512, key=keys[i]
-                )
-                frames.append(synthetic.scan_to_cloud(xyz, hit))
-            scans.append(jax.tree.map(lambda *x: jnp.stack(x), *frames))
+            scans.append(synthetic.scan_batch(
+                world, t, keys, n_rings=16, n_azimuth=512
+            ))
 
     print("running SLAM...")
     with tracer.span("slam"):

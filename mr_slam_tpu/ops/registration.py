@@ -790,6 +790,9 @@ def register_pair(
         )
     # Score against a permissive grid: the registration grid drops
     # sparse (<3 point) cells, which would penalise clutter points that
-    # do have a true nearest neighbour.
+    # do have a true nearest neighbour. Fitness is a mean — a 4x source
+    # subsample scores the same statistics at a quarter of the direct27
+    # gather cost (matches `loopstage.verify_chunk`'s scoring).
     fit_grid = voxel_grid.build(target, leaf, table_size, min_points=1)
-    return result._replace(fitness=fitness(source, fit_grid, result.pose))
+    sub = PointCloud(source.xyz[::4], source.mask[::4])
+    return result._replace(fitness=fitness(sub, fit_grid, result.pose))

@@ -421,17 +421,18 @@ def _verify_loop(
     else:
         seeds = _loop_seeds(descs_a, ia, descs_b, ib, yaw_guess, cfg)
     best = None
-    # grid leaf tracks the downsample leaf; table sized ~4x the point
-    # capacity so wide (+-crop_xy) merged submaps don't saturate the hash
+    # grid leaf tracks the downsample leaf; table sizes match
+    # `loopstage.verify_chunk` (load factor ~0.5 — full-table passes
+    # are the measured bulk of verification)
     grid_leaf = max(0.5, L.verify_leaf)
-    table = max(1 << 15, 4 * L.verify_capacity)
+    table = max(1 << 14, 2 * L.verify_capacity)
     for init in seeds:
         # coarse-to-fine: a 2 m grid with a 4 m correspondence radius
         # pulls metre-scale seed errors into the fine basin (the
         # point-to-plane metric is nearly flat in-plane on open ground,
         # so single-scale VGICP stalls at the seed)
         coarse = registration.register_pair(
-            b_ds, a_ds, init, leaf=2.0, table_size=1 << 15,
+            b_ds, a_ds, init, leaf=2.0, table_size=1 << 13,
             method="vgicp", iters=15, max_corr_dist=4.0,
         )
         res = registration.register_pair(
