@@ -6,17 +6,16 @@ measurement model is an OpenMP loop of per-point ikd-tree 5-NN plane
 residuals (`laserMapping.cpp:634-766`), IMU forward-propagation +
 backward undistortion (`IMU_Processing.hpp:65`), and ikd-tree insertion.
 
-The TPU formulation is a 21-dof error-state filter
-dx = [dphi, dp, dv, dbg, dba, dphi_e, dp_e] (left/world-frame rotation
-perturbation R_true = exp(dphi) R_hat; (dphi_e, dp_e) perturb the
-lidar-IMU extrinsic R_li <- exp(dphi_e) R_li, t_li <- t_li + dp_e —
-the reference's online-calibrated extrinsic states in `use-ikfom.hpp`'s
-23-state. Gravity is estimated once at rest by `imu_init` — the
-reference's `IMU_init`, `IMU_Processing.hpp:64` — and held fixed,
-dropping IKFoM's S2 gravity manifold refinement; the residual gravity
-error after a rest init is <~0.1 deg, far below the extrinsic mount
-errors the online calibration absorbs, and the trade is documented by
-tests/test_lio.py's gravity-tilt failure envelope):
+The TPU formulation is a 24-dof error-state filter
+dx = [dphi, dp, dv, dbg, dba, dphi_e, dp_e, dgrav] (left/world-frame
+rotation perturbation R_true = exp(dphi) R_hat; (dphi_e, dp_e) perturb
+the lidar-IMU extrinsic R_li <- exp(dphi_e) R_li, t_li <- t_li + dp_e;
+dgrav refines the gravity vector, retracted to |g| = 9.81 after each
+update — together the reference's online-calibrated extrinsic + S2
+gravity states of `use-ikfom.hpp`'s 23-state. Gravity is initialized at
+rest by `imu_init` — the reference's `IMU_init`,
+`IMU_Processing.hpp:64`; both refinements are opt-in flags with tight
+priors — they are calibrations, not dynamic states):
 
   * `propagate` integrates the IMU packet with a per-sample first-order
     covariance propagation P <- F P F^T + Q (a `lax.scan` of 21x21
@@ -50,7 +49,7 @@ from ..precision import accurate
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81])
 
-_DOF = 21  # [dphi, dp, dv, dbg, dba, dphi_e, dp_e]
+_DOF = 24  # [dphi, dp, dv, dbg, dba, dphi_e, dp_e, dgrav]
 
 
 class ImuSample(NamedTuple):
@@ -68,7 +67,7 @@ class LioState(NamedTuple):
     R_li: jax.Array   # (3, 3) IMU <- lidar extrinsic rotation
     t_li: jax.Array   # (3,) IMU <- lidar extrinsic translation
     grav: jax.Array   # (3,) gravity vector, world frame
-    P: jax.Array      # (21, 21) error covariance
+    P: jax.Array      # (24, 24) error covariance
     grid: voxel_grid.VoxelGrid
     frame: jax.Array
 
@@ -102,6 +101,12 @@ class LioConfig(NamedTuple):
                                    # calibration plastic instead of frozen
                                    # by the first (weakly-observable)
                                    # posterior contraction
+    estimate_gravity: bool = False  # refine the gravity vector online
+                                    # (IKFoM's S2 manifold state; ours is
+                                    # a 3-dof tangent renormalized to
+                                    # 9.81 after each update)
+    gravity_prior: float = 1e-3     # initial gravity variance (m^2/s^4)
+    gravity_rw: float = 0.0         # gravity random walk (0: constant)
     extrinsic_step: float = 2e-3   # trust region: max extrinsic correction
                                    # per GN iteration (rad / m). The scan-
                                    # to-map measurement cannot separate
@@ -134,6 +139,8 @@ def init(
     P0 = P0.at[9:15, 9:15].set(jnp.eye(6) * 1e-3)
     if config.estimate_extrinsics:
         P0 = P0.at[15:21, 15:21].set(jnp.eye(6) * config.extrinsic_prior)
+    if config.estimate_gravity:
+        P0 = P0.at[21:24, 21:24].set(jnp.eye(3) * config.gravity_prior)
     return LioState(
         R=origin.R, p=origin.t, v=jnp.zeros(3), bg=jnp.zeros(3),
         ba=jnp.zeros(3), R_li=extrinsic.R, t_li=extrinsic.t,
@@ -190,12 +197,14 @@ def propagate(state: LioState, imu: ImuSample, config: LioConfig):
         F = F.at[3:6, 6:9].set(I3 * dt)
         F = F.at[6:9, 0:3].set(-so3.hat(R @ a) * dt)
         F = F.at[6:9, 12:15].set(-R * dt)
+        F = F.at[6:9, 21:24].set(I3 * dt)  # dv' += dgrav dt
         qd = jnp.concatenate([
             jnp.full(3, config.gyro_noise * dt),
             jnp.full(3, 1e-8 * dt),
             jnp.full(3, config.acc_noise * dt),
             jnp.full(6, config.bias_rw * dt),
             jnp.full(6, config.extrinsic_rw * dt),
+            jnp.full(3, config.gravity_rw * dt),
         ])
         P_new = F @ P @ F.T + jnp.diag(qd)
         return (R_new, p_new, v_new, P_new), (R_new, p_new)
@@ -280,8 +289,10 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
     planar = evals[..., 0] < 0.1 * jnp.maximum(evals[..., 1], 1e-9)
     usable = scan_ds.mask & (wsum >= 5) & planar
 
+    est_grav = config.estimate_gravity
+
     def body(carry, _):
-        R, p, v, bg, ba, R_li, t_li, _H = carry
+        R, p, v, bg, ba, R_li, t_li, grav, _H = carry
         s_b = jnp.einsum("ab,nb->na", R_li, scan_ds.xyz) + t_li  # IMU frame
         tp = jnp.einsum("ab,nb->na", R, s_b) + p
         d2 = jnp.sum((mu_p - tp) ** 2, axis=-1)
@@ -310,6 +321,7 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
             so3.log(R @ state.R.T), p - state.p, v - state.v,
             bg - state.bg, ba - state.ba,
             so3.log(R_li @ state.R_li.T), t_li - state.t_li,
+            grav - state.grav,
         ])
         Jtr = jnp.einsum("ni,n,n->i", J, r, w)
         b_meas = jnp.zeros(_DOF).at[0:6].set(Jtr[0:6])
@@ -329,17 +341,26 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
             t_li_new = t_li + clamp(dx[18:21])
         else:
             R_li_new, t_li_new = R_li, t_li
+        if est_grav:
+            # tangent update then S2 retraction: |g| stays 9.81 (the
+            # IKFoM gravity-manifold constraint)
+            g_new = grav + dx[21:24]
+            g_new = g_new * (9.81 / jnp.maximum(
+                jnp.linalg.norm(g_new), 1e-9
+            ))
+        else:
+            g_new = grav
         return (
             (R_new, p + dx[3:6], v + dx[6:9], bg + dx[9:12], ba + dx[12:15],
-             R_li_new, t_li_new, H),
+             R_li_new, t_li_new, g_new, H),
             jnp.sum(ok),
         )
 
     carry0 = (
         state.R, state.p, state.v, state.bg, state.ba,
-        state.R_li, state.t_li, Pinv,
+        state.R_li, state.t_li, state.grav, Pinv,
     )
-    (R, p, v, bg, ba, R_li, t_li, H_last), inliers = jax.lax.scan(
+    (R, p, v, bg, ba, R_li, t_li, grav, H_last), inliers = jax.lax.scan(
         body, carry0, None, length=config.iters,
     )
     # information-form covariance contraction at the converged estimate
@@ -347,7 +368,8 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
     P_post = linalg3.inv_psd_scaled(H_last + 1e-8 * jnp.eye(_DOF))
     P_post = 0.5 * (P_post + P_post.T)
     state2 = state._replace(
-        R=R, p=p, v=v, bg=bg, ba=ba, R_li=R_li, t_li=t_li, P=P_post
+        R=R, p=p, v=v, bg=bg, ba=ba, R_li=R_li, t_li=t_li, grav=grav,
+        P=P_post,
     )
     return state2, inliers[-1]
 

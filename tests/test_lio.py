@@ -348,3 +348,55 @@ class TestExtrinsics:
         assert a_on <= a_off + jnp.deg2rad(0.25), (
             f"calibration ran away: {jnp.rad2deg(a_on):.2f} deg"
         )
+
+
+@pytest.mark.slow
+class TestGravityRefinement:
+    def test_online_gravity_corrects_misinit(self):
+        """`estimate_gravity` (IKFoM's S2 state, ours a renormalized
+        3-dof tangent): a 4-deg gravity misinit must be pulled back
+        under 1 deg while the fixed-gravity filter keeps the full
+        tilt."""
+        world = synthetic.default_world(3)
+        n = 25
+        traj = synthetic.circle_trajectory(n, radius=25.0, laps=0.12)
+        gyro, acc, dts = synthetic.imu_for_trajectory(
+            traj, frame_dt=0.1, n_sub=10
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        tilt = so3.exp(jnp.deg2rad(jnp.array([4.0, 0.0, 0.0])))
+        g_bad = tilt @ jnp.array([0.0, 0.0, -9.81])
+
+        def run(est):
+            config = lio.LioConfig(
+                table_size=1 << 16, scan_capacity=4096, iters=4,
+                estimate_gravity=est, gravity_prior=5e-2,
+            )
+            state = lio.init(config, se3.index(traj, 0))
+            state = state._replace(
+                v=(traj.t[1] - traj.t[0]) / 0.1, grav=g_bad
+            )
+            for i in range(n - 1):
+                body = se3.index(traj, i + 1)
+                xyz, _, hit = synthetic.scan(
+                    world, body, n_rings=16, n_azimuth=512, key=keys[i]
+                )
+                sc = synthetic.scan_to_cloud(xyz, hit)
+                pt = jnp.full((sc.xyz.shape[0],), 0.0999)
+                state, _ = lio.step(
+                    state, sc, pt,
+                    lio.ImuSample(gyro=gyro[i], acc=acc[i], dt=dts[i]),
+                    config,
+                )
+            gerr = float(jnp.rad2deg(jnp.arccos(jnp.clip(
+                -state.grav[2] / 9.81, -1, 1
+            ))))
+            perr = float(jnp.linalg.norm(state.p - traj.t[-1]))
+            return perr, gerr
+
+        p_off, g_off = run(False)
+        p_on, g_on = run(True)
+        assert g_off > 3.5  # fixed filter keeps the tilt
+        assert g_on < 1.0, f"gravity not refined: {g_on:.2f} deg"
+        assert p_on < max(1.5 * p_off, 0.3)
+        # |g| stays on the 9.81 sphere (S2 retraction)
