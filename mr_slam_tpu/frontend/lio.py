@@ -251,7 +251,7 @@ def undistort(
 @partial(jax.jit, static_argnames=("config",))
 def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
     """Iterated measurement update — MAP Gauss-Newton with the
-    propagated prior over the FULL 21-dof error state.
+    propagated prior over the FULL 24-dof error state.
 
     Residuals: point-to-plane against the map with pooled-moment planes
     on tp = R (R_li q + t_li) + p. They constrain (dphi, dp) directly
