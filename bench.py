@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""Headline benchmark: VGICP registrations/s per chip, plus end-to-end
-front-end frames/s, full-pipeline ATE on the synthetic world, and
-multi-device scaling efficiency.
+"""Headline benchmark: VGICP registrations/s per chip, plus the full
+audited evidence suite: front-end frames/s + pipeline ATE, the
+500-frame x 3-robot long-horizon run, the 3-seed x 3-regime pose-graph
+stress grid vs an independent scipy solver, the evaluate.py-protocol
+place-recognition table, Pallas stencil speedup, loop batching, and
+virtual-device + true multi-process scaling.
 
 The BASELINE.json north star asks for >= 5x the reference's CPU/CUDA
 registration throughput per chip. The workload mirrors the back-end's
 loop-verification registration (`ICPCheck` with FAST_VGICP_CUDA:
 resolution 0.5, ~50 iterations, few-thousand-point submaps,
 `global_manager.cpp:2416-2462`): a batch of independent (source, target)
-pairs registered by vmapped VGICP on one chip.
+pairs registered by vmapped VGICP on one chip, perturbed at the
+seed-realistic initial errors production verification starts from, with
+CONVERGENCE reported alongside throughput.
 
 Baseline: fast_gicp's own multithreaded benchmark (README of the
 upstream project) reports ~30 ms/align for VGICP on a desktop CPU
@@ -18,10 +23,11 @@ vs_baseline = ours / 100. (No GPU exists in this environment to
 re-measure it; the derivation is stated here so the ratio is auditable.)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"extra"} — extra carries {frontend_fps, ate_rmse_m, ate_frames,
-scaling: {fps_1, fps_n, n, efficiency}} (scaling measured on a
-simulated N-virtual-device CPU mesh in a subprocess; true multi-process
-mechanics are covered by tests/test_multihost.py).
+"extra"}. Heavy extras are env-tunable: LONGRUN_FRAMES (default 500 on
+an accelerator, 60 on CPU; 0 skips). Note: on a tunneled chip the
+long-horizon wall time varies run to run with the tunnel's throughput
+(measured 279-446 s for identical binaries); the ATE/loop counts are
+deterministic.
 """
 from __future__ import annotations
 
