@@ -18,7 +18,7 @@ rest by `imu_init` — the reference's `IMU_init`,
 priors — they are calibrations, not dynamic states):
 
   * `propagate` integrates the IMU packet with a per-sample first-order
-    covariance propagation P <- F P F^T + Q (a `lax.scan` of 21x21
+    covariance propagation P <- F P F^T + Q (a `lax.scan` of 24x24
     matmuls — free next to the point kernels); the extrinsic block is
     constant (no process noise — it is a calibration, not a dynamic
     state);
@@ -264,7 +264,6 @@ def update(state: LioState, scan_ds: pcl.PointCloud, config: LioConfig):
     Pinv = linalg3.inv_psd_scaled(P)
     w_meas = 1.0 / (config.lidar_noise**2)
     est_ext = config.estimate_extrinsics
-    M = 12 if est_ext else 6  # measured error-state columns
 
     # ---- associate ONCE at the IMU-predicted state --------------------
     # (the K-row gather + moment pooling + eigh3 plane fits are the

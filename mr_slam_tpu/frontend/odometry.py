@@ -97,8 +97,10 @@ def step(
     two-rate / load-shedding mode. A-LOAM's architecture: frame-to-
     frame odometry every frame, map refinement at lower rate, frames
     dropped from mapping under load (`laserMapping.cpp:303`). The pose
-    still registers against the existing map; only map growth is
-    deferred to the next unshed frame."""
+    still registers against the existing map; the shed frame's points
+    are NOT inserted (its map contribution is dropped, as in the
+    reference's frame drops — the map grows again on the next unshed
+    frame)."""
     # Constant-velocity prediction: pose * (prev^-1 * pose)
     motion = se3.between(state.prev_pose, state.pose)
     pred = se3.compose(state.pose, motion)

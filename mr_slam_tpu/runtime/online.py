@@ -219,11 +219,15 @@ class OnlineSlam:
         row = self.rows[robot]
         sched = self.cfg.scheduler
         # two-rate + load-shed decision (scan2map only; never frame 0 or
-        # the frame right after a registered keyframe — map must grow)
-        shed = rs["frontend"] == "scan2map" and rs["frame"] > 0 and (
+        # the frame right after a registered keyframe — map must grow
+        # around new keyframes; a shed frame's map contribution is
+        # DROPPED, not deferred)
+        after_kf = rs["frame"] == rs.get("last_kf_frame", -2) + 1
+        shed = (rs["frontend"] == "scan2map" and rs["frame"] > 0
+                and not after_kf and (
             (sched.map_every > 1 and rs["frame"] % sched.map_every != 0)
             or (sched.shed and self._over_budget_prev)
-        )
+        ))
         t_frame0 = _time.perf_counter()
         with obs.tracer.span("online.frontend"):
             if rs["frontend"] == "lio":
@@ -278,6 +282,7 @@ class OnlineSlam:
         if shed:
             obs.metrics.inc("frontend.frames_shed")
         if added:
+            rs["last_kf_frame"] = rs["frame"] - 1  # frame already advanced
             self._on_keyframe(robot, int(k), stamp)
         # ---- deadline monitor (A-LOAM soft-deadline/drop analogue) ----
         if sched.frame_budget_s > 0.0:

@@ -607,7 +607,7 @@ def _allgather_loops(
         ]
         block[i, 7:16] = np.asarray(l["rel"].R).reshape(-1)
         block[i, 16:19] = np.asarray(l["rel"].t)
-    count = np.array([len(my_loops)], np.int32)
+    count = np.array([min(len(my_loops), max_loops)], np.int32)
     blocks = multihost_utils.process_allgather(block)          # (P, L, 19)
     counts = multihost_utils.process_allgather(count).reshape(-1)
     merged: list[tuple[int, dict]] = []
