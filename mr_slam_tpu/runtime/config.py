@@ -47,18 +47,35 @@ class KeyframeCfg:
 
 @dataclass(frozen=True)
 class LoopCfg:
+    """Gate values whose reference counterparts differ numerically are
+    calibrated in docs/calibration.md (the reference-threshold ->
+    ours mapping table); change them together with that table."""
+
     method: str = "scancontext"     # scancontext | ring | disco
-    dist_thresh: float = 0.25       # descriptor gate (RING 0.48 scale-equiv)
+    dist_thresh: float = 0.25       # descriptor gate (RING 0.48 ->
+                                    # cosine ~0.2; docs/calibration.md)
     min_separation: int = 10        # skip recent frames (same robot)
     candidates: int = 1             # top-k to verify per query
     verify_window: int = 2          # merged +-window keyframes (submap_size)
-    verify_leaf: float = 0.4        # icp_filter_size-ish
+    verify_leaf: float = 0.4        # vs ref icp filter 0.2 m — see
+                                    # docs/calibration.md voxel-leaves row
     verify_capacity: int = 16384
-    fitness_thresh: float = 0.15    # accept gate (ref 0.10 with PCL scoring)
+    fitness_thresh: float = 0.15    # accept gate (ref 0.10 PCL scoring;
+                                    # docs/calibration.md fitness row)
+    fitness_z_min: float = 0.25     # fitness scores STRUCTURE points
+                                    # only (body-frame z above this):
+                                    # ground matches ground under any
+                                    # in-plane transform, so a ground-
+                                    # dominated mean accepts false loops
+                                    # in symmetric worlds. Registration
+                                    # still uses all points (ground
+                                    # observes z/pitch/roll).
     max_loops: int = 64
     w_rot: float = 10.0             # loop noise 1e-1 -> info 10 (launch)
     w_trans: float = 10.0
-    pcm_threshold: float = 2.204    # chi2 @ 6dof, pcm_thresh 0.10
+    pcm_threshold: float = 2.204    # chi2 @ 6dof, pcm_thresh 0.10 (vs
+                                    # ref 0.872 @ identity covariance —
+                                    # docs/calibration.md PCM row)
     use_pcm: bool = True
     # per-KEYFRAME-step odometry drift PSD entering the PCM cycle
     # covariance (pcm.consistency_matrix): long cycles tolerate

@@ -218,8 +218,15 @@ def verify_chunk(
         )
         # fitness is a MEAN — a 4x subsample scores it to the same
         # statistics at a quarter of the direct27 gather cost (the
-        # single most expensive op of the verify chunk)
+        # single most expensive op of the verify chunk). Scored on
+        # STRUCTURE points only (z above fitness_z_min in the keyframe
+        # body frame): ground matches ground under any in-plane
+        # transform, so a ground-dominated mean scores false loops
+        # ~0.02 in symmetric worlds (see LoopCfg.fitness_z_min).
         sub = jax.tree.map(lambda a: a[::4], cloud_b)
+        sub = sub._replace(
+            mask=sub.mask & (sub.xyz[:, 2] > L.fitness_z_min)
+        )
         fit = registration.fitness(sub, ftg, fine.pose)
         return fine.pose, fit
 

@@ -342,47 +342,6 @@ def _descriptor_distances(desc_q: dict, qi: int, desc_db: dict, cfg: SlamConfig)
 # --------------------------------------------------------------------------
 
 
-def _loop_seeds(
-    descs_a: dict | None,
-    ia: int,
-    descs_b: dict | None,
-    ib: int,
-    yaw_guess: float,
-    cfg: SlamConfig,
-) -> list[Pose]:
-    """Initial-guess pose seeds (b-frame <- a-frame points) for loop
-    verification. RING-family methods seed the FULL SE(2): both yaw
-    hypotheses (theta, theta - pi) with their row-shift translation
-    solves, best-residual first (`main_RING.py:146-205`); other methods
-    seed yaw-only at zero translation."""
-    m = cfg.loops.method
-    sino_a = sino_b = None
-    if descs_a is not None and descs_b is not None:
-        if m == "ring":
-            sino_a = descs_a["sino"][ia]
-            sino_b = descs_b["sino"][ib]
-        elif m == "ringpp":
-            # channel-mean sinogram carries the occupancy structure
-            sino_a = jnp.mean(descs_a["sino_pp"][ia], axis=0)
-            sino_b = jnp.mean(descs_b["sino_pp"][ib], axis=0)
-    if sino_a is None:
-        # yaw maps a-frame points to b-frame; init must map b -> a
-        fwd = Pose(so3.yaw_rot(jnp.float32(yaw_guess)), jnp.zeros(3))
-        return [se3.inverse(fwd)]
-    A = sino_a.shape[-2]
-    shift = jnp.int32(jnp.round(yaw_guess * A / jnp.pi))
-    yaws, xys, res = ring.se2_hypotheses(sino_a, sino_b, shift)
-    order = np.argsort(np.asarray(res))
-    seeds = []
-    for k in order:
-        fwd = Pose(
-            so3.yaw_rot(yaws[k]),
-            jnp.concatenate([xys[k], jnp.zeros(1)]),
-        )
-        seeds.append(se3.inverse(fwd))
-    return seeds
-
-
 def _verify_loop(
     store_a: kf.KeyframeStore,
     ia: int,
@@ -394,59 +353,23 @@ def _verify_loop(
     descs_a: dict | None = None,
     descs_b: dict | None = None,
 ):
-    """Geometry check (`ICPCheck`, `global_manager.cpp:1945-2084`):
-    merge +-window keyframes around each side (cropped +-crop_xy in x/y,
-    `global_manager.cpp:1916-1926`), register a->b, gate on fitness.
-    Same-robot candidates are seeded with the odometry relative pose
-    (the reference's odometry-space loop path does the same); cross
-    robot ones with the descriptor SE(2) seeds (dual yaw + translation
-    for RING-family). Returns (accept, rel_pose (b_kf_frame <-
-    a_kf_frame), fitness)."""
-    L = cfg.loops
-    merged_a = kf.merged_neighborhood(store_a, jnp.int32(ia), L.verify_window)
-    merged_b = kf.merged_neighborhood(store_b, jnp.int32(ib), L.verify_window)
-    pose_a = se3.index(store_a.poses, ia)
-    pose_b = se3.index(store_b.poses, ib)
-    # bring both into their center-keyframe body frames
-    a_local = pcl.transform(merged_a, se3.inverse(pose_a))
-    b_local = pcl.transform(merged_b, se3.inverse(pose_b))
-    c = L.crop_xy
-    a_local = pcl.crop_box(a_local, (-c, -c, -jnp.inf), (c, c, jnp.inf))
-    b_local = pcl.crop_box(b_local, (-c, -c, -jnp.inf), (c, c, jnp.inf))
-    a_ds = pcl.voxel_downsample(a_local, L.verify_leaf, L.verify_capacity)
-    b_ds = pcl.voxel_downsample(b_local, L.verify_leaf, L.verify_capacity)
-    if same_robot:
-        # T_ab init from (drifted) odometry: T_a^-1 T_b
-        seeds = [se3.between(pose_a, pose_b)]
-    else:
-        seeds = _loop_seeds(descs_a, ia, descs_b, ib, yaw_guess, cfg)
-    best = None
-    # grid leaf tracks the downsample leaf; table sizes match
-    # `loopstage.verify_chunk` (load factor ~0.5 — full-table passes
-    # are the measured bulk of verification)
-    grid_leaf = max(0.5, L.verify_leaf)
-    table = max(1 << 14, 2 * L.verify_capacity)
-    for init in seeds:
-        # coarse-to-fine: a 2 m grid with a 4 m correspondence radius
-        # pulls metre-scale seed errors into the fine basin (the
-        # point-to-plane metric is nearly flat in-plane on open ground,
-        # so single-scale VGICP stalls at the seed)
-        coarse = registration.register_pair(
-            b_ds, a_ds, init, leaf=2.0, table_size=1 << 13,
-            method="vgicp", iters=15, max_corr_dist=4.0,
-        )
-        res = registration.register_pair(
-            b_ds, a_ds, coarse.pose, leaf=grid_leaf, table_size=table,
-            method="vgicp", iters=15,
-        )
-        if best is None or float(res.fitness) < float(best.fitness):
-            best = res
-        if float(best.fitness) < L.fitness_thresh:
-            break  # first seed that verifies wins (reference behavior)
-    # best.pose maps b-frame points into a-frame: T_ab. Loop measurement
-    # wants b <- a: invert.
-    accept = float(best.fitness) < L.fitness_thresh
-    return accept, se3.inverse(best.pose), float(best.fitness)
+    """Geometry check (`ICPCheck`, `global_manager.cpp:1945-2084`) for a
+    single candidate loop. Thin wrapper: delegates to
+    `loopstage.verify_chunk` with a batch of one, so the merge/crop/
+    grid-size/seed/fitness core has exactly ONE source of truth (the
+    chunked production path); `tests/test_loopstage.py` keeps the
+    batch-of-one vs in-batch parity as a regression check. Returns
+    (accept, rel_pose (b_kf_frame <- a_kf_frame), fitness)."""
+    from . import loopstage
+
+    rel, fit = loopstage.verify_chunk(
+        store_a, store_b,
+        jnp.asarray([ia], jnp.int32), jnp.asarray([ib], jnp.int32),
+        jnp.asarray([yaw_guess], jnp.float32), cfg, same_robot,
+        descs_a=descs_a, descs_b=descs_b,
+    )
+    f = float(fit[0])
+    return f < cfg.loops.fitness_thresh, se3.index(rel, 0), f
 
 
 def odom_space_candidates(
