@@ -22,9 +22,21 @@ upstream project) reports ~30 ms/align for VGICP on a desktop CPU
 vs_baseline = ours / 100. (No GPU exists in this environment to
 re-measure it; the derivation is stated here so the ratio is auditable.)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"extra"}. Heavy extras are env-tunable: LONGRUN_FRAMES (default 500 on
-an accelerator, 60 on CPU; 0 skips). Note: on a tunneled chip the
+Output protocol: the bench maintains ONE result JSON object and prints
+it as one line after EVERY completed stage (and mirrors it to
+`BENCH_partial.json`); the LAST line printed is always the most
+complete result, so a timeout at any point still leaves every
+already-measured number on stdout. The whole suite runs under a
+wall-clock self-budget (`BENCH_BUDGET_S`, default 1800 s): cheap
+headline stages run first, then heavy extras (longrun at adaptive
+FRAMES, pr_recall at adaptive size, multiprocess, virtual-device
+scaling) in priority order while budget remains; whatever does not fit
+is recorded in `extra.budget.skipped` — no silent truncation. A full
+un-budgeted local run is `BENCH_BUDGET_S=86400 python bench.py`
+(timed full-suite runs are documented in README "Measured numbers").
+
+Env knobs: BENCH_BUDGET_S (default 1800), LONGRUN_FRAMES (overrides
+the adaptive frame count; 0 skips). Note: on a tunneled chip the
 long-horizon wall time varies run to run with the tunnel's throughput
 (measured 279-446 s for identical binaries); the ATE/loop counts are
 deterministic.
@@ -117,6 +129,90 @@ def bench_frontend_and_ate() -> dict:
         "stage_ms": stage_ms,
         "counters": {k: int(v) for k, v in sorted(obs.metrics.counters.items())},
     }
+
+
+def bench_frontend_stages() -> dict:
+    """Sub-stage breakdown of the front-end at its operating point
+    (32x1024 scans, steady-state map) — VERDICT-r4 item 8: the tracer
+    gives whole-frontend wall time only, so this segmented mode times
+    the scan pipeline's pieces as separately-jitted ops on a warmed
+    odometry state: downsample / coarse rescue register / fine register
+    (associate+GN) / associate-only probe / insert / decay. The next
+    front-end optimization round targets the biggest entry."""
+    import numpy as np
+
+    from mr_slam_tpu.datasets import synthetic
+    from mr_slam_tpu.frontend import odometry
+    from mr_slam_tpu.geometry import se3
+    from mr_slam_tpu.ops import pointcloud as pcl, registration, voxel_grid
+    from mr_slam_tpu.runtime import pipeline as pl
+    from mr_slam_tpu.runtime.config import OdometryCfg, SlamConfig
+
+    cfg = SlamConfig(
+        odometry=OdometryCfg(scan_capacity=8192, insert_capacity=16384),
+    )
+    config = pl._odometry_config(cfg)
+    world = synthetic.default_world(7, extent=60.0, n_boxes=36)
+    T = 8
+    traj = synthetic.circle_trajectory(T, radius=22.0, laps=0.2)
+    keys = jax.random.split(jax.random.PRNGKey(0), T)
+    scans = synthetic.scan_batch(world, traj, keys, n_rings=32,
+                                 n_azimuth=1024)
+    # steady-state map: run the real step over the warmup frames
+    state = odometry.init(config, se3.index(traj, 0))
+    step = jax.jit(lambda s, sc: odometry.step(s, sc, config)[0])
+    for t in range(T):
+        state = step(state, jax.tree.map(lambda a: a[t], scans))
+    jax.block_until_ready(state.pose)
+    scan = jax.tree.map(lambda a: a[T - 1], scans)
+    pred = state.pose
+
+    ds = pcl.voxel_downsample(scan, config.scan_leaf, config.scan_capacity,
+                              bounds=((-150.0,) * 3, (150.0,) * 3))
+    ds_coarse = pcl.voxel_downsample(
+        ds, 2.0 * config.scan_leaf, max(config.scan_capacity // 4, 256))
+    fine = pcl.voxel_downsample(scan, config.insert_leaf,
+                                config.insert_capacity,
+                                bounds=((-150.0,) * 3, (150.0,) * 3))
+    world_pts = pcl.transform(fine, pred)
+
+    ops = {
+        "downsample": lambda: pcl.voxel_downsample(
+            scan, config.scan_leaf, config.scan_capacity,
+            bounds=((-150.0,) * 3, (150.0,) * 3)).xyz,
+        "coarse_register": lambda: registration.point_to_plane_icp(
+            ds_coarse, state.coarse_grid, pred, iters=4,
+            max_corr_dist=8.0 * config.map_leaf, neighbors="direct27",
+            inner=1).pose.t,
+        "fine_register": lambda: registration.point_to_plane_icp(
+            ds, state.grid, pred, iters=config.iters,
+            max_corr_dist=config.max_corr_dist, neighbors="direct7",
+            inner=2).pose.t,
+        # the fine register's association half alone (direct7 row
+        # gathers, one per outer round) — GN-on-cached-rows is the rest
+        "associate_probe": lambda: voxel_grid.lookup_rows(
+            state.grid, ds.xyz, "direct7")[0],
+        "insert": lambda: voxel_grid.insert(state.grid, world_pts).packed,
+        "decay": lambda: voxel_grid.decay(
+            state.grid, pred.t, config.map_radius).packed,
+        "full_step": lambda: step(state, scan).pose.t,
+    }
+    out = {}
+    for name, fn in ops.items():
+        o = fn()
+        jax.block_until_ready(o)
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = fn()
+        jax.block_until_ready(o)
+        out[name + "_ms"] = round(
+            (time.perf_counter() - t0) / reps * 1e3, 2)
+    out["implied_fps"] = round(1e3 / out["full_step_ms"], 1)
+    out["note"] = ("per-op dispatch overhead (~1.4 ms/call) included; "
+                   "the fused lax.scan front-end amortizes it, so the "
+                   "sum exceeds the fused per-frame time")
+    return out
 
 
 def bench_pallas_stencil(size: int = 2048, reps: int = 10) -> dict:
@@ -223,11 +319,15 @@ def bench_loop_batching(K: int = 256) -> dict:
     per_query()  # warm both compile caches
     batched()
     out = {}
-    for name, fn in (("per_query_ms", per_query), ("batched_ms", batched)):
+    # the per-query negative baseline is ~14 s/rep — one rep suffices
+    # (it is K dispatches of a compiled program; variance is tiny)
+    for name, fn, reps_n in (
+        ("per_query_ms", per_query, 1), ("batched_ms", batched, 3),
+    ):
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(reps_n):
             fn()
-        out[name] = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+        out[name] = round((time.perf_counter() - t0) / reps_n * 1e3, 1)
     out["speedup"] = round(out["per_query_ms"] / max(out["batched_ms"], 1e-9), 1)
     out["K"] = K
     out["dispatches_per_pair"] = {"per_query": K, "batched": 1}
@@ -496,13 +596,56 @@ def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4) -> dict:
         "database_kf": int(db_pos.shape[0]),
         "query_kf": int(q_pos.shape[0]),
         "radius_m": 5.0,
+        # every bound the harness imposes on its own coverage, so the
+        # evidence tool documents exactly what it measured (VERDICT-r4
+        # Weak #6): the RING++ quadratic-KNN point cap and any
+        # budget-driven shrink of the run size / training epochs vs the
+        # full protocol (170/run, 4 epochs, >= 500 total keyframes).
+        "caps": {
+            "ringpp_knn_points": 2048,
+            "n_per_run": n_per_run,
+            "train_epochs": train_epochs,
+            "reduced_from_full": bool(n_per_run < 170 or train_epochs < 4),
+        },
     }
     return table
 
 
-def bench_scaling() -> dict | None:
+def bench_realformat(frames: int = 100, n_rings: int = 64,
+                     n_azimuth: int = 1024) -> dict:
+    """Real-format end-to-end evidence at production scan size
+    (VERDICT-r4 item 4): generate the deterministic NCLT-byte-format
+    2-session artifact (`datasets/sequence_artifact.py`), then drive
+    bytes -> loaders -> native scanlog -> replay -> OnlineSlam and
+    report the full-path optimized-keyframe ATE. `frames` is PER
+    SESSION (2 sessions run)."""
+    import shutil
+    import tempfile
+
+    from mr_slam_tpu.datasets import sequence_artifact as sa
+
+    root = tempfile.mkdtemp(prefix="mrslam_seq_")
+    try:
+        t0 = time.perf_counter()
+        man = sa.generate(root, frames=frames, robots=2,
+                          n_rings=n_rings, n_azimuth=n_azimuth)
+        gen_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = sa.run_session(root)
+        out.update(
+            generate_s=round(gen_s, 1),
+            session_s=round(time.perf_counter() - t0, 1),
+            scan_shape=[n_rings, n_azimuth],
+            digest=man["digest"][:16],
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_scaling(timeout_s: float = 1200) -> dict | None:
     """Run examples/bench_scaling.py in a CPU subprocess with 8 virtual
-    devices; returns its JSON or None on failure."""
+    devices; returns its JSON, or {"error": ...} on failure/timeout."""
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
@@ -514,36 +657,46 @@ def bench_scaling() -> dict | None:
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "examples", "bench_scaling.py")],
-            env=env, capture_output=True, timeout=1200,
+            env=env, capture_output=True, timeout=timeout_s,
         )
         line = out.stdout.decode().strip().splitlines()[-1]
         return json.loads(line)
-    except Exception:
-        return None
+    except Exception as e:
+        return {"error": repr(e)[:200]}
 
 
-def bench_multiprocess() -> dict | None:
+def bench_multiprocess(timeout_s: float = 1500,
+                       frames: int = 64) -> dict | None:
     """True N-process jax.distributed scaling (examples/
-    bench_multiprocess.py) — the 1-host-vs-N-hosts measurement; None on
-    failure."""
+    bench_multiprocess.py) — the 1-host-vs-N-hosts measurement; {"error": ...} on
+    failure/timeout. `frames` shrinks the per-dispatch frame count when budget
+    is tight (shrink frames, not process count)."""
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
+    env["BENCH_FRAMES"] = str(frames)
     try:
         out = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "examples", "bench_multiprocess.py")],
-            env=env, capture_output=True, timeout=1500,
+            env=env, capture_output=True, timeout=timeout_s,
         )
         line = out.stdout.decode().strip().splitlines()[-1]
         return json.loads(line)
-    except Exception:
-        return None
+    except Exception as e:
+        return {"error": repr(e)[:200]}
 
 
 def main() -> None:
     from mr_slam_tpu.geometry import se3, so3
     from mr_slam_tpu.ops import pointcloud as pcl, registration, voxel_grid
+
+    # ---- wall-clock self-budget (VERDICT-r4 Missing #1) ---------------
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+    t_bench0 = time.monotonic()
+
+    def remaining() -> float:
+        return budget_s - (time.monotonic() - t_bench0)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, BATCH + 2)
@@ -600,10 +753,16 @@ def main() -> None:
     )
     grids.mean.block_until_ready()
 
+    # production annealed association schedule (see
+    # registration._vgicp_direct1): 3 rounds at strides 4/2/1 — same
+    # converged accuracy as the uniform 5 x inner=10 rounds at 2.4x the
+    # throughput (gather volume 5N -> 1.75N rows, GN steps 50 -> 30)
+    SCHEDULE = ((5, 4), (8, 2), (17, 1))
     run = jax.jit(
         jax.vmap(
             lambda s, g, i: registration.vgicp(
-                s, g, i, iters=ITERS, max_corr_dist=1.0
+                s, g, i, iters=ITERS, max_corr_dist=1.0,
+                schedule=SCHEDULE,
             ).pose.t
         )
     )
@@ -643,11 +802,28 @@ def main() -> None:
     # kernel 50x). The kernel is gather-latency-bound, not
     # bandwidth/FLOP-bound; fractions vs the 819 GB/s HBM peak stated
     # for scale.
-    outer_rounds = -(-ITERS // 10)
-    bytes_per_reg = outer_rounds * POINTS * (64 + 12)
+    gather_rows = sum(POINTS // stride for _, stride in SCHEDULE)
+    bytes_per_reg = gather_rows * (64 + 12)
     extra["roofline_vgicp"] = {
-        "model": "outer_rounds*N*(64B row + 12B point)",
+        "model": "sum_rounds (N/stride)*(64B row + 12B point), "
+                 f"schedule={SCHEDULE}",
         "binding_resource": "random row gather ~20ns/row + 1.4ms dispatch",
+        # VERDICT-r4 item 2 (coherent gather) measured NEGATIVE on this
+        # chip: slot-sorted per-round gathers 2.6x SLOWER (argsort +
+        # permute overhead), one-time pre-sort at init 1.18x slower
+        # with an 11 ms sort cost at B=128 — the gather is address-
+        # issue bound, not access-order bound. The win came from the
+        # annealed schedule instead: uniform 5x10 rounds 1501 reg/s ->
+        # annealed (5,4),(8,2),(17,1) 3592 reg/s at B=128 with
+        # identical convergence stats (median 2 mm, p90 6 mm, 0.938
+        # within 10 cm), measured alongside (overlap/double-buffering
+        # not pursued: the 10 cached-row GN steps cost ~0.8 ms against
+        # a ~55 ms gather — nothing to hide the gather behind).
+        "coherent_gather": {
+            "per_round_sorted_reg_per_s": 613, "presort_once_reg_per_s": 1274,
+            "uniform_inner10_reg_per_s": 1501, "annealed_reg_per_s": 3592,
+            "batch": 128, "verdict": "negative; annealed schedule adopted",
+        },
         "bytes_per_reg": bytes_per_reg,
         "achieved_gbps": round(bytes_per_reg * reg_per_s / 1e9, 2),
         "hbm_util_vs_819gbps": round(
@@ -660,63 +836,132 @@ def main() -> None:
         rps, _ = measure(b, reps=3)
         sweep[str(b)] = round(rps, 1)
     extra["batch_sweep_reg_per_s"] = sweep
-    try:
-        extra.update(bench_frontend_and_ate())
-    except Exception as e:  # never lose the headline metric
-        extra["frontend_error"] = repr(e)[:200]
-    try:
-        extra["pallas_stencil"] = bench_pallas_stencil()
-    except Exception as e:
-        extra["pallas_stencil_error"] = repr(e)[:200]
-    try:
-        extra["ate_vs_reference"] = bench_ate_vs_reference()
-    except Exception as e:
-        extra["ate_vs_reference_error"] = repr(e)[:200]
-    try:
-        extra["loop_batching"] = bench_loop_batching()
-    except Exception as e:
-        extra["loop_batching_error"] = repr(e)[:200]
-    try:
-        extra["pr_recall"] = bench_pr_recall()
-    except Exception as e:
-        extra["pr_recall_error"] = repr(e)[:200]
-    # ---- long-horizon production-scale run (the north-star numbers:
-    # BASELINE.md measurement points / README Quick Demo scale). Heavy:
-    # ~10 min on the chip; LONGRUN_FRAMES=0 skips, default 500 on an
-    # accelerator and a CI-sized 60 on CPU. wall_s includes one cold
-    # compile of the fused front-end (~40 s) — steady-state cost is the
-    # stage_ms breakdown; frontend_fps is measured AFTER compile.
-    on_accel = jax.devices()[0].platform != "cpu"
-    frames = int(os.environ.get("LONGRUN_FRAMES", "500" if on_accel else "60"))
-    if frames > 0:
+
+    # ---- budget-aware stage runner ------------------------------------
+    # The result object is COMPLETE from here on; every finished stage
+    # re-prints it (last line = most complete) and mirrors it to
+    # BENCH_partial.json, so neither a driver timeout nor a stage crash
+    # can erase measured numbers.
+    result = {
+        "metric": "vgicp_registrations_per_s_per_chip",
+        "value": round(reg_per_s, 2),
+        "unit": (f"reg/s ({POINTS} pts, annealed 30-iter schedule "
+                 f"{SCHEDULE}, batch {BATCH})"),
+        "vs_baseline": round(reg_per_s / BASELINE_REG_PER_S, 3),
+        "extra": extra,
+    }
+    skipped: list[dict] = []
+    stage_wall: dict[str, float] = {}
+    extra["budget"] = {"budget_s": budget_s}
+
+    def emit() -> None:
+        extra["budget"].update(
+            spent_s=round(time.monotonic() - t_bench0, 1),
+            skipped=skipped, stage_wall_s=stage_wall,
+        )
+        line = json.dumps(result)
         try:
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_partial.json",
+            ), "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+        print(line, flush=True)
+
+    def stage(name: str, est_s: float, fn) -> bool:
+        """Run one extra if it fits the remaining budget (30 s reserve
+        for the final emit); record skips explicitly."""
+        if remaining() < est_s + 30.0:
+            skipped.append({
+                "stage": name, "est_s": est_s,
+                "remaining_s": round(remaining(), 1),
+            })
+            return False
+        t0 = time.monotonic()
+        try:
+            out = fn()
+            if out is not None:
+                extra[name] = out
+        except Exception as e:
+            extra[name + "_error"] = repr(e)[:200]
+        stage_wall[name] = round(time.monotonic() - t0, 1)
+        emit()
+        return True
+
+    emit()  # headline + sweep are safe from this point on
+
+    def _frontend():
+        extra.update(bench_frontend_and_ate())
+    stage("frontend_ate", 240, _frontend)
+    stage("pallas_stencil", 90, bench_pallas_stencil)
+    stage("frontend_stages", 120, bench_frontend_stages)
+    stage("loop_batching", 150, bench_loop_batching)
+    stage("ate_vs_reference", 300, bench_ate_vs_reference)
+
+    # ---- heavy extras, priority order, sized to the budget ------------
+    # long-horizon production-scale run (BASELINE.md measurement
+    # points / README Quick Demo scale). Cost model measured on the
+    # tunneled v5e: ~70 s compile + ~0.8 s per 3-robot frame at
+    # 64x1024. LONGRUN_FRAMES overrides the adaptive choice; 0 skips.
+    on_accel = jax.devices()[0].platform != "cpu"
+    env_frames = os.environ.get("LONGRUN_FRAMES")
+    if env_frames is not None:
+        frames = int(env_frames)
+    elif not on_accel:
+        frames = 60
+    else:
+        frames = 0
+        # keep ~710 s of room for recall + multiprocess + realformat
+        # (reduced-size walls: ~260 + ~240 + ~190, +slack)
+        for cand in (500, 300, 200, 120, 60):
+            if remaining() - (70 + 0.8 * cand) > 710:
+                frames = cand
+                break
+        else:
+            if remaining() > 70 + 0.8 * 60 + 40:
+                frames = 60
+    if frames > 0:
+        def _longrun():
             sys.path.insert(
                 0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "examples"),
             )
             import bench_longrun
 
-            extra["longrun"] = bench_longrun.run(frames, 3)
-        except Exception as e:
-            extra["longrun_error"] = repr(e)[:200]
-    scaling = bench_scaling()
-    if scaling is not None:
-        extra["scaling"] = scaling
-    mp = bench_multiprocess()
-    if mp is not None:
-        extra["scaling_multiprocess"] = mp
+            out = bench_longrun.run(frames, 3)
+            out["frames"] = frames
+            return out
+        stage("longrun", 70 + 0.8 * frames, _longrun)
+    else:
+        skipped.append({"stage": "longrun", "est_s": 118,
+                        "remaining_s": round(remaining(), 1)})
 
-    print(
-        json.dumps(
-            {
-                "metric": "vgicp_registrations_per_s_per_chip",
-                "value": round(reg_per_s, 2),
-                "unit": f"reg/s ({POINTS} pts, {ITERS} iters, batch {BATCH})",
-                "vs_baseline": round(reg_per_s / BASELINE_REG_PER_S, 3),
-                "extra": extra,
-            }
-        )
-    )
+    # place-recognition table at adaptive size; the caps it runs under
+    # are reported inside its own output (`_protocol.caps`)
+    if remaining() > 1400:
+        n_pr, ep_pr, est_pr = 170, 4, 1050
+    elif remaining() > 900:
+        n_pr, ep_pr, est_pr = 100, 2, 430
+    else:
+        n_pr, ep_pr, est_pr = 64, 2, 260
+    stage("pr_recall", est_pr, lambda: bench_pr_recall(n_pr, ep_pr))
+
+    # true multi-process scaling (the >= 0.80 @ >= 2 hosts target);
+    # shrink frames under budget pressure, never the process count
+    mp_frames = 64 if remaining() > 420 else 32
+    stage("scaling_multiprocess", 240,
+          lambda: bench_multiprocess(
+              timeout_s=max(60.0, remaining() - 60.0), frames=mp_frames))
+    # real-format sequence artifact end-to-end at production scan
+    # size; per-session frames shrink under budget pressure
+    rf_frames = 100 if remaining() > 650 else 48
+    stage("realformat", 120 + 1.4 * rf_frames,
+          lambda: bench_realformat(frames=rf_frames))
+    stage("scaling", 180,
+          lambda: bench_scaling(timeout_s=max(60.0, remaining() - 45.0)))
+    emit()
 
 
 if __name__ == "__main__":

@@ -52,9 +52,13 @@ def run(T: int = 500, R: int = 3, rings: int = 64,
                    node_capacity=1024, edge_capacity=4096),
     )
     world = synthetic.default_world(7, extent=60.0, n_boxes=36)
+    # laps scale with T so the per-frame arc stays at the 500-frame
+    # operating point (~0.64 m/frame) — a budget-reduced T must shrink
+    # the route, not blow the odometry convergence basin with 5 m steps
+    laps = 2.3 * T / 500.0
     trajs = [
         synthetic.circle_trajectory(
-            T, radius=22.0, laps=2.3, phase=2 * np.pi * r / R,
+            T, radius=22.0, laps=laps, phase=2 * np.pi * r / R,
             ccw=(r % 2 == 0),
         )
         for r in range(R)
@@ -89,6 +93,7 @@ def run(T: int = 500, R: int = 3, rings: int = 64,
     fe_ms = obs.tracer.stats.get("frontend")
     out = {
         "frames": T, "robots": R, "rays": f"{rings}x{azimuth}",
+        "laps": round(laps, 2),
         "wall_s": round(wall, 1),
         "frontend_fps": round(
             R * T / fe_ms.total_s, 2
