@@ -60,6 +60,7 @@ class OnlineSlam:
         self._searched: dict[tuple[int, int], set] = {}
         self._inter_candidates: list[dict] = []  # every verified inter loop
         self.opt_poses: Optional[Pose] = None
+        self._opt_n_nodes = -1  # graph size at the last solve
         self.loop_every = cfg.scheduler.loop_every_kf
         self.enable_gem = enable_gem  # per-robot rolling elevation maps
         # scheduler state (stamp-driven cadences + deadline monitor)
@@ -326,10 +327,20 @@ class OnlineSlam:
             K = int(store.count)
             if K == 0:
                 continue
+            # correction from the latest keyframe COVERED BY the last
+            # solve (a newer node would read zeros from the stale array)
             node = self.node_of.get((r, K - 1))
+            k_used = K - 1
+            if node is not None and node >= self._opt_n_nodes:
+                for k_used in range(K - 2, -1, -1):
+                    node = self.node_of.get((r, k_used))
+                    if node is None or node < self._opt_n_nodes:
+                        break
+                else:
+                    node = None
             if self.opt_poses is not None and node is not None:
                 opt = se3.index(self.opt_poses, node)
-                odom = se3.index(store.poses, K - 1)
+                odom = se3.index(store.poses, k_used)
                 corr = se3.compose(opt, se3.inverse(odom))
             else:
                 corr = se3.identity()
@@ -355,7 +366,10 @@ class OnlineSlam:
             ids = np.asarray(
                 [self.node_of.get((r, k), -1) for k in range(K)]
             )
-            if self.opt_poses is not None and (ids >= 0).all():
+            # only read nodes covered by the LAST solve (later nodes
+            # would read zeros from the stale opt array)
+            if (self.opt_poses is not None and (ids >= 0).all()
+                    and (ids < self._opt_n_nodes).all()):
                 poses = Pose(
                     self.opt_poses.R[ids], self.opt_poses.t[ids]
                 )
@@ -434,7 +448,7 @@ class OnlineSlam:
                 node = self.node_of.get((robot, k))
                 if node is None:
                     continue
-                if self.opt_poses is not None:
+                if self.opt_poses is not None and node < self._opt_n_nodes:
                     pose = se3.index(self.opt_poses, node)
                 else:
                     pose = se3.index(store.poses, k)
@@ -598,6 +612,7 @@ class OnlineSlam:
         return g
 
     def optimize(self) -> None:
+        self._opt_n_nodes = int(self.graph.n_nodes)
         g = self._graph_with_loops()
         anchors = np.zeros(g.node_capacity, bool)
         for r in self.robots:
@@ -638,7 +653,10 @@ class OnlineSlam:
             )
             for k in range(counts[r]):
                 node_of[ri, k] = self.node_of.get((r, k), -1)
-        if self.opt_poses is None:
+        # re-solve if the graph grew since the last optimize: a stale
+        # opt_poses would read ZEROS for nodes added after that solve
+        if (self.opt_poses is None
+                or self._opt_n_nodes != int(self.graph.n_nodes)):
             self.optimize()
         return pl.SlamResult(
             robots=robots, graph=self._graph_with_loops(),

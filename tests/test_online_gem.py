@@ -79,6 +79,9 @@ class TestOnlineGem:
             Rm[node] = np.asarray(p.R)
             tm[node] = np.asarray(p.t)
         sess.opt_poses = Pose(jnp.asarray(Rm), jnp.asarray(tm))
+        # injected poses cover every node (the session otherwise only
+        # trusts opt entries up to the last real solve's node count)
+        sess._opt_n_nodes = int(sess.graph.n_nodes)
         good = sess.global_elevation(size=192, center=(0.0, 14.0))
 
         # a grossly perturbed "optimization" must produce a worse map

@@ -26,9 +26,9 @@ def _session_cfg(**sched):
     return dataclasses.replace(SMALL_CFG, scheduler=SchedulerCfg(**sched))
 
 
-def _drive(sess, n=24, dt=0.1):
+def _drive(sess, n=24, dt=0.1, laps=0.6):
     world = synthetic.default_world(5)
-    traj = synthetic.circle_trajectory(n, radius=22.0, laps=0.6)
+    traj = synthetic.circle_trajectory(n, radius=22.0, laps=laps)
     scans = make_scans(world, traj, n)
     for i in range(n):
         sess.add_frame(
@@ -71,9 +71,13 @@ class TestTwoRate:
     def test_map_every_sheds_inserts(self):
         sess = online.OnlineSlam(_session_cfg(map_every=3))
         obs.metrics.counters.clear()
-        _drive(sess, n=12)
-        # frames 1,2,4,5,7,8,10,11 shed (frame 0 never; multiples of 3 map)
-        assert obs.metrics.counters["frontend.frames_shed"] == 8
+        # small motion: only frame 0 registers a keyframe (total arc
+        # ~0.7 m < dist_thresh), so the after-keyframe shed exemption
+        # covers frame 1 alone and the count is deterministic
+        _drive(sess, n=12, laps=0.005)
+        # of frames 1..11: multiples of 3 map (3, 6, 9), frame 1 is
+        # exempt (right after the frame-0 keyframe) -> 7 shed
+        assert obs.metrics.counters["frontend.frames_shed"] == 7
 
     def test_shed_step_keeps_map_identical(self):
         """A shed odometry step must not touch the persistent map."""
@@ -97,10 +101,12 @@ class TestTwoRate:
             _session_cfg(frame_budget_s=1e-9, shed=True)
         )
         obs.metrics.counters.clear()
-        _drive(sess, n=8)
+        # small motion -> only frame 0 keyframes; frame 1 is exempt
+        # from shedding (after a registered keyframe), frames 2..7 shed
+        _drive(sess, n=8, laps=0.005)
         assert obs.metrics.counters["frontend.frames_over_budget"] == 8
         # frames after the first over-budget one shed their map insert
-        assert obs.metrics.counters["frontend.frames_shed"] >= 6
+        assert obs.metrics.counters["frontend.frames_shed"] == 6
 
 
 @pytest.mark.slow
