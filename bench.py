@@ -493,7 +493,8 @@ def bench_ate_vs_reference() -> dict:
     return out
 
 
-def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4) -> dict:
+def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4,
+                    deadline: float | None = None) -> dict:
     """evaluate.py-protocol place-recognition table: 3 runs x
     `n_per_run` keyframes (>= 500 total) through the shared courtyard;
     runs 0+1 are the DATABASE, run 2 the QUERY set (cross-run retrieval
@@ -528,7 +529,11 @@ def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4) -> dict:
     q_clouds, q_pos = runs[2]
 
     table = {}
+    skipped_methods = []
     for m in recall_harness.METHODS:
+        if deadline is not None and time.monotonic() > deadline:
+            skipped_methods.append(m)
+            continue
         try:
             res = recall_harness.evaluate_cross(
                 m, q_clouds, q_pos, db_clouds, db_pos, radius=5.0, max_n=25
@@ -544,54 +549,57 @@ def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4) -> dict:
             table[m] = {"error": repr(e)[:120]}
 
     # trained DiSCO: quadruplet training on DATABASE keyframes only
-    try:
-        bevs_db = jax.lax.map(
-            lambda c: bev_mod.polar_occupancy(c, 40, 120, z_bins=8), db_clouds
-        )
-        bevs_q = jax.lax.map(
-            lambda c: bev_mod.polar_occupancy(c, 40, 120, z_bins=8), q_clouds
-        )
-        D = db_pos.shape[0]
-        d_xy = np.linalg.norm(
-            np.asarray(db_pos)[:, None, :2] - np.asarray(db_pos)[None, :, :2],
-            axis=-1,
-        )
-        pos_mask = d_xy < 5.0
-        np.fill_diagonal(pos_mask, False)
-        far_mask = d_xy > 15.0
-        model = disco_net.DiscoNet(base=4)
-        state, tx = disco_net.create_train_state(
-            jax.random.PRNGKey(1), model, bevs_db[0], lr=3e-4
-        )
-        rng = np.random.default_rng(0)
-        anchors = [i for i in range(D)
-                   if pos_mask[i].any() and far_mask[i].any()]
-        for _ in range(train_epochs):
-            for a in rng.permutation(anchors)[:128]:
-                p = int(rng.choice(np.flatnonzero(pos_mask[a])))
-                negs = rng.choice(
-                    np.flatnonzero(far_mask[a]), size=4, replace=False
-                )
-                on_pool = np.flatnonzero(far_mask[a] & ~pos_mask[a])
-                on = int(rng.choice(on_pool))
-                state, _ = disco_net.train_step(
-                    state, model, tx, bevs_db[a], bevs_db[p],
-                    bevs_db[jnp.asarray(negs)], bevs_db[on],
-                )
-        sig_db = jax.lax.map(lambda b: model.apply(state.params, b), bevs_db)
-        sig_q = jax.lax.map(lambda b: model.apply(state.params, b), bevs_q)
-        dists = jnp.linalg.norm(sig_q[:, None] - sig_db[None], axis=-1)
-        pos = metrics.make_positives(q_pos, db_pos, radius=5.0)
-        res = metrics.recall_at_n(dists, pos, pos.any(1), max_n=25)
-        r = np.asarray(res.recall_at_n)
-        table["disco_trained"] = {
-            "r@1": round(float(r[0]), 3),
-            "r@5": round(float(r[4]), 3),
-            "r@25": round(float(r[24]), 3),
-            "top1pct": round(float(res.top1_percent), 3),
-        }
-    except Exception as e:
-        table["disco_trained"] = {"error": repr(e)[:120]}
+    if deadline is not None and time.monotonic() > deadline:
+        skipped_methods.append("disco_trained")
+    else:
+      try:
+          bevs_db = jax.lax.map(
+              lambda c: bev_mod.polar_occupancy(c, 40, 120, z_bins=8), db_clouds
+          )
+          bevs_q = jax.lax.map(
+              lambda c: bev_mod.polar_occupancy(c, 40, 120, z_bins=8), q_clouds
+          )
+          D = db_pos.shape[0]
+          d_xy = np.linalg.norm(
+              np.asarray(db_pos)[:, None, :2] - np.asarray(db_pos)[None, :, :2],
+              axis=-1,
+          )
+          pos_mask = d_xy < 5.0
+          np.fill_diagonal(pos_mask, False)
+          far_mask = d_xy > 15.0
+          model = disco_net.DiscoNet(base=4)
+          state, tx = disco_net.create_train_state(
+              jax.random.PRNGKey(1), model, bevs_db[0], lr=3e-4
+          )
+          rng = np.random.default_rng(0)
+          anchors = [i for i in range(D)
+                     if pos_mask[i].any() and far_mask[i].any()]
+          for _ in range(train_epochs):
+              for a in rng.permutation(anchors)[:128]:
+                  p = int(rng.choice(np.flatnonzero(pos_mask[a])))
+                  negs = rng.choice(
+                      np.flatnonzero(far_mask[a]), size=4, replace=False
+                  )
+                  on_pool = np.flatnonzero(far_mask[a] & ~pos_mask[a])
+                  on = int(rng.choice(on_pool))
+                  state, _ = disco_net.train_step(
+                      state, model, tx, bevs_db[a], bevs_db[p],
+                      bevs_db[jnp.asarray(negs)], bevs_db[on],
+                  )
+          sig_db = jax.lax.map(lambda b: model.apply(state.params, b), bevs_db)
+          sig_q = jax.lax.map(lambda b: model.apply(state.params, b), bevs_q)
+          dists = jnp.linalg.norm(sig_q[:, None] - sig_db[None], axis=-1)
+          pos = metrics.make_positives(q_pos, db_pos, radius=5.0)
+          res = metrics.recall_at_n(dists, pos, pos.any(1), max_n=25)
+          r = np.asarray(res.recall_at_n)
+          table["disco_trained"] = {
+              "r@1": round(float(r[0]), 3),
+              "r@5": round(float(r[4]), 3),
+              "r@25": round(float(r[24]), 3),
+              "top1pct": round(float(res.top1_percent), 3),
+          }
+      except Exception as e:
+          table["disco_trained"] = {"error": repr(e)[:120]}
     table["_protocol"] = {
         "database_kf": int(db_pos.shape[0]),
         "query_kf": int(q_pos.shape[0]),
@@ -606,6 +614,7 @@ def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4) -> dict:
             "n_per_run": n_per_run,
             "train_epochs": train_epochs,
             "reduced_from_full": bool(n_per_run < 170 or train_epochs < 4),
+            "deadline_skipped_methods": skipped_methods,
         },
     }
     return table
@@ -913,10 +922,10 @@ def main() -> None:
         frames = 60
     else:
         frames = 0
-        # keep ~710 s of room for recall + multiprocess + realformat
-        # (reduced-size walls: ~260 + ~240 + ~190, +slack)
+        # keep ~690 s of room for multiprocess + realformat + the
+        # recall floor (measured walls: ~240 + ~190 + >=200, +slack)
         for cand in (500, 300, 200, 120, 60):
-            if remaining() - (70 + 0.8 * cand) > 710:
+            if remaining() - (70 + 0.8 * cand) > 690:
                 frames = cand
                 break
         else:
@@ -938,16 +947,6 @@ def main() -> None:
         skipped.append({"stage": "longrun", "est_s": 118,
                         "remaining_s": round(remaining(), 1)})
 
-    # place-recognition table at adaptive size; the caps it runs under
-    # are reported inside its own output (`_protocol.caps`)
-    if remaining() > 1400:
-        n_pr, ep_pr, est_pr = 170, 4, 1050
-    elif remaining() > 900:
-        n_pr, ep_pr, est_pr = 100, 2, 430
-    else:
-        n_pr, ep_pr, est_pr = 64, 2, 260
-    stage("pr_recall", est_pr, lambda: bench_pr_recall(n_pr, ep_pr))
-
     # true multi-process scaling (the >= 0.80 @ >= 2 hosts target);
     # shrink frames under budget pressure, never the process count
     mp_frames = 64 if remaining() > 420 else 32
@@ -959,6 +958,20 @@ def main() -> None:
     rf_frames = 100 if remaining() > 650 else 48
     stage("realformat", 120 + 1.4 * rf_frames,
           lambda: bench_realformat(frames=rf_frames))
+    # place-recognition table, deadline-aware per method (compile cost
+    # dominates — measured 670 s even at n=64 — so the harness skips
+    # whole methods past its deadline and reports them in
+    # `_protocol.caps.deadline_skipped_methods`)
+    if remaining() > 1100:
+        n_pr, ep_pr = 170, 4
+    elif remaining() > 700:
+        n_pr, ep_pr = 100, 2
+    else:
+        n_pr, ep_pr = 64, 2
+    stage("pr_recall", 200,
+          lambda: bench_pr_recall(
+              n_pr, ep_pr,
+              deadline=time.monotonic() + max(120.0, remaining() - 75.0)))
     stage("scaling", 180,
           lambda: bench_scaling(timeout_s=max(60.0, remaining() - 45.0)))
     emit()
