@@ -49,6 +49,12 @@ class OdometryConfig(NamedTuple):
     # (4x leaf) saturates its cells from every 4th scan.
     decay_every: int = 8            # FOV trim every N frames
     coarse_every: int = 4           # coarse-grid insert every N frames
+    # annealed association for the fine register (see
+    # registration.point_to_plane_icp `schedule`): early rounds
+    # associate a strided subset — the direct7 gather + plane fits are
+    # the measured bulk of the frame. Measured (v5e, 32x1024): 67 vs
+    # 52 fps, bench-circle ATE 0.073 vs 0.063 m.
+    anneal: bool = True
 
 
 class OdometryState(NamedTuple):
@@ -138,6 +144,10 @@ def step(
                       # must walk its correspondences in; with the 4x
                       # subsample the gather volume stays small
         )
+        sched = None
+        if config.anneal and config.iters >= 6:
+            q = max(config.iters // 4, 1)
+            sched = ((q, 4), (q, 2), (config.iters - 2 * q, 1))
         res = registration.point_to_plane_icp(
             ds,
             state.grid,
@@ -146,6 +156,7 @@ def step(
             max_corr_dist=config.max_corr_dist,
             neighbors="direct7",
             inner=2,
+            schedule=sched,
         )
         return res.pose, res.error, res.num_inliers
 

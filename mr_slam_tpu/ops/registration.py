@@ -401,7 +401,7 @@ def _vgicp_direct1(
 
 
 @accurate
-@partial(jax.jit, static_argnames=("iters", "neighbors", "inner"))
+@partial(jax.jit, static_argnames=("iters", "neighbors", "inner", "schedule"))
 def point_to_plane_icp(
     source: PointCloud,
     target: voxel_grid.VoxelGrid,
@@ -412,6 +412,7 @@ def point_to_plane_icp(
     tol: float = 1e-4,
     neighbors: str = "direct7",
     inner: int = 4,
+    schedule: tuple | None = None,
 ) -> RegistrationResult:
     """Point-to-plane ICP: residual n^T (T p - mu) against a local plane
     — the same geometry as FAST-LIO's `esti_plane` measurement model
@@ -426,12 +427,24 @@ def point_to_plane_icp(
     moment pooling + eigh3 plane fits — the measured per-frame cost of
     the whole front-end) x `inner` gather-free GN steps against the
     cached planes (n, mu fixed; residual and Jacobian re-linearized at
-    each iterate)."""
-    outer = -(-iters // inner)
+    each iterate).
 
-    def outer_step(carry, _):
+    `schedule`: optional ((inner_iters, source_stride), ...) annealed
+    association schedule (same contract as `_vgicp_direct1`): early
+    rounds associate a strided subset — the K-row gather + pooling +
+    eigh3 are the cost and a coarse correction needs no density — the
+    final round runs the full cloud. Overrides iters/inner."""
+    if schedule is None:
+        schedule = tuple(
+            (min(inner, iters - k * inner), 1)
+            for k in range(-(-iters // inner))
+        )
+
+    def assoc_and_refine(carry, inner_n, stride):
         pose0, _prev = carry
-        tp = se3.apply(pose0, source.xyz)
+        sxyz = source.xyz[::stride]
+        smask = source.mask[::stride]
+        tp = se3.apply(pose0, sxyz)
         found, cnt, mu, Cv = voxel_grid.lookup(target, tp, neighbors)
         # Candidate A: pool moments over all found neighbour cells
         # (spans rings/scans like the reference's 5-NN plane fit).
@@ -462,11 +475,11 @@ def point_to_plane_icp(
         use_cell = (~use_pool) & planar_c & (cnt_c >= 3)
         n = jnp.where(use_pool[:, None], n_p, n_c)
         mu_b = jnp.where(use_pool[:, None], mu_p, mu_c)
-        usable = source.mask & (use_pool | use_cell)
+        usable = smask & (use_pool | use_cell)
 
         def inner_step(icarry, _):
             pose, _p = icarry
-            tp_i = se3.apply(pose, source.xyz)
+            tp_i = se3.apply(pose, sxyz)
             d2_b = jnp.sum((mu_b - tp_i) ** 2, axis=-1)
             w = (usable & (d2_b < max_corr_dist**2)).astype(jnp.float32)
             r = jnp.sum(n * (tp_i - mu_b), axis=-1)  # scalar residual
@@ -480,18 +493,20 @@ def point_to_plane_icp(
             return (new_pose, jnp.linalg.norm(dx)), (cost, jnp.sum(w))
 
         (pose, last_dx), (costs, inliers) = jax.lax.scan(
-            inner_step, (pose0, _prev), None, length=inner
+            inner_step, (pose0, _prev), None, length=inner_n
         )
         return (pose, last_dx), (costs[-1], inliers[-1])
 
-    (pose, last_dx), (costs, inliers) = jax.lax.scan(
-        outer_step, (init, jnp.float32(jnp.inf)), None, length=outer
-    )
+    carry = (init, jnp.float32(jnp.inf))
+    cost, n_in = jnp.float32(0.0), jnp.float32(0.0)
+    for inner_n, stride in schedule:
+        carry, (cost, n_in) = assoc_and_refine(carry, inner_n, stride)
+    pose, last_dx = carry
     fit = fitness(source, target, pose, max_range=1.0)
     return RegistrationResult(
         pose=se3.normalize(pose),
-        num_inliers=inliers[-1],
-        error=costs[-1],
+        num_inliers=n_in,
+        error=cost,
         fitness=fit,
         converged=last_dx < tol,
     )

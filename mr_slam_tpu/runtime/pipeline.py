@@ -191,7 +191,7 @@ def _odometry_config(cfg: SlamConfig) -> odometry.OdometryConfig:
         scan_capacity=o.scan_capacity, insert_capacity=o.insert_capacity,
         table_size=o.table_size, map_radius=o.map_radius, iters=o.iters,
         max_corr_dist=o.max_corr_dist, decay_every=o.decay_every,
-        coarse_every=o.coarse_every,
+        coarse_every=o.coarse_every, anneal=o.anneal,
     )
 
 
