@@ -49,6 +49,11 @@ import subprocess
 import sys
 import time
 
+# budget clock starts at PROCESS start, before the ~60-90 s of jax
+# import + tunneled-device init, so the self-budget bounds the wall
+# time the DRIVER sees (its timeout wraps the whole process)
+_T_PROC0 = time.monotonic()
+
 import jax
 import jax.numpy as jnp
 
@@ -153,8 +158,8 @@ def bench_frontend_stages() -> dict:
     )
     config = pl._odometry_config(cfg)
     world = synthetic.default_world(7, extent=60.0, n_boxes=36)
-    T = 8
-    traj = synthetic.circle_trajectory(T, radius=22.0, laps=0.2)
+    T = 6
+    traj = synthetic.circle_trajectory(T, radius=22.0, laps=0.15)
     keys = jax.random.split(jax.random.PRNGKey(0), T)
     scans = synthetic.scan_batch(world, traj, keys, n_rings=32,
                                  n_azimuth=1024)
@@ -201,7 +206,7 @@ def bench_frontend_stages() -> dict:
     for name, fn in ops.items():
         o = fn()
         jax.block_until_ready(o)
-        reps = 10
+        reps = 6
         t0 = time.perf_counter()
         for _ in range(reps):
             o = fn()
@@ -420,7 +425,7 @@ def _pcm_gate_graph(g, threshold: float = 5.348,
     ), rejected
 
 
-def bench_ate_vs_reference() -> dict:
+def bench_ate_vs_reference(n_seeds: int = 3) -> dict:
     """The accuracy north star (BASELINE.md: ATE <= 1.1x the reference
     GTSAM-based optimizer), stressed where optimizers actually diverge:
     a GRID of 3 seeds x {clean, 10% outlier loops, 3x drift} 510-node
@@ -442,7 +447,9 @@ def bench_ate_vs_reference() -> dict:
     # reference-parity optimization budget (~gtsam's 200 GN iterations,
     # `evaluation_utils.cpp:321`)
     full = chordal.PGOConfig(rot_cg_iters=120, gn_iters=30, pose_cg_iters=120)
-    seeds = (0, 1, 2) if jax.devices()[0].platform != "cpu" else (0,)
+    seeds = (
+        tuple(range(n_seeds)) if jax.devices()[0].platform != "cpu" else (0,)
+    )
     out = {"graph": f"multi_robot_graph(3x170, stride12) x seeds{seeds}"}
     worst = 0.0
     for name, kw in regimes.items():
@@ -530,10 +537,16 @@ def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4,
 
     table = {}
     skipped_methods = []
+    ran_any = False
     for m in recall_harness.METHODS:
-        if deadline is not None and time.monotonic() > deadline:
+        # PROJECTED-cost gate: a method that would still be compiling
+        # at the deadline must not start (measured first-method cost
+        # ~240 s incl. descriptor compiles, ~120 s after)
+        est_m = 120.0 if ran_any else 300.0
+        if deadline is not None and time.monotonic() + est_m > deadline:
             skipped_methods.append(m)
             continue
+        ran_any = True
         try:
             res = recall_harness.evaluate_cross(
                 m, q_clouds, q_pos, db_clouds, db_pos, radius=5.0, max_n=25
@@ -549,7 +562,7 @@ def bench_pr_recall(n_per_run: int = 170, train_epochs: int = 4,
             table[m] = {"error": repr(e)[:120]}
 
     # trained DiSCO: quadruplet training on DATABASE keyframes only
-    if deadline is not None and time.monotonic() > deadline:
+    if deadline is not None and time.monotonic() + 450.0 > deadline:
         skipped_methods.append("disco_trained")
     else:
       try:
@@ -636,8 +649,11 @@ def bench_realformat(frames: int = 100, n_rings: int = 64,
     root = tempfile.mkdtemp(prefix="mrslam_seq_")
     try:
         t0 = time.perf_counter()
+        # laps scale with frames: a budget-reduced run keeps the
+        # ~1.8 m per-frame arc instead of blowing the odometry basin
         man = sa.generate(root, frames=frames, robots=2,
-                          n_rings=n_rings, n_azimuth=n_azimuth)
+                          n_rings=n_rings, n_azimuth=n_azimuth,
+                          laps=1.25 * frames / 100.0)
         gen_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = sa.run_session(root)
@@ -702,7 +718,7 @@ def main() -> None:
 
     # ---- wall-clock self-budget (VERDICT-r4 Missing #1) ---------------
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1800"))
-    t_bench0 = time.monotonic()
+    t_bench0 = _T_PROC0
 
     def remaining() -> float:
         return budget_s - (time.monotonic() - t_bench0)
@@ -907,7 +923,11 @@ def main() -> None:
     stage("pallas_stencil", 90, bench_pallas_stencil)
     stage("frontend_stages", 120, bench_frontend_stages)
     stage("loop_batching", 150, bench_loop_batching)
-    stage("ate_vs_reference", 300, bench_ate_vs_reference)
+    # 3 seeds when the budget allows, 2 under pressure (reported in
+    # the output's `graph` string either way)
+    stage("ate_vs_reference", 300,
+          lambda: bench_ate_vs_reference(
+              n_seeds=3 if remaining() > 1250 else 2))
 
     # ---- heavy extras, priority order, sized to the budget ------------
     # long-horizon production-scale run (BASELINE.md measurement
@@ -968,7 +988,7 @@ def main() -> None:
         n_pr, ep_pr = 100, 2
     else:
         n_pr, ep_pr = 64, 2
-    stage("pr_recall", 200,
+    stage("pr_recall", 330,
           lambda: bench_pr_recall(
               n_pr, ep_pr,
               deadline=time.monotonic() + max(120.0, remaining() - 75.0)))

@@ -37,7 +37,8 @@ class OdometryCfg:
     coarse_every: int = 4   # coarse rescue-grid refresh cadence (frames)
     anneal: bool = True     # annealed fine-register association (67 vs
                             # 52 fps at 32x1024; ATE 0.073 vs 0.063 on
-                            # the bench circle — docs/calibration.md)
+                            # the bench circle — see
+                            # registration.point_to_plane_icp)
 
 
 @dataclass(frozen=True)
